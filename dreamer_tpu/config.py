@@ -1,0 +1,255 @@
+"""Typed configuration for dreamer_tpu.
+
+The reference uses a flat 51-key YAML dict destructured key-by-key
+(reference: Dreamer.py:20-64, train_car_racer.py:59-60).  We provide a typed
+dataclass tree with (a) a compat loader for the reference's flat key names so
+the shipped ``car_racer_config.yaml`` loads unchanged, and (b) dotted-path CLI
+overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass
+class WorldModelConfig:
+    """Architecture + optimiser of the world model (reference: WorldModel.py:12-70)."""
+
+    hidden_dim: int = 600                 # GRU deterministic state (hidden_state_dims)
+    latent_rows: int = 32                 # categorical latent: rows x classes
+    latent_classes: int = 32
+    obs_size: Tuple[int, int] = (64, 64)  # (H, W); channels fixed at 3
+    encoder_filters_1: int = 32
+    encoder_filters_2: int = 64
+    encoder_hidden: int = 200             # latent_mapper hidden width
+    decoder_filters_1: int = 32
+    decoder_filters_2: int = 64
+    decoder_hidden: int = 200             # upscaler hidden width
+    dyn_hidden_1: int = 200
+    dyn_hidden_2: int = 200
+    rew_hidden_1: int = 200
+    rew_hidden_2: int = 200
+    cont_hidden_1: int = 200
+    cont_hidden_2: int = 200
+    reward_buckets: int = 255             # twohot buckets over symlog rewards
+    unimix: float = 0.01                  # 1% uniform mix (VariationalAutoEncoder.py:91-92)
+    lr: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-5
+    weight_decay: float = 1e-6            # WorldModel.py:68
+    grad_clip: float = 100.0              # WorldModel.py:198
+    beta_pred: float = 1.0                # loss weights (car_racer_config.yaml:49-51)
+    beta_dyn: float = 0.5
+    beta_rep: float = 0.1
+    free_bits: float = 1.0                # max(1, E[KL]) — WorldModel.py:187-188
+
+    @property
+    def latent_dim(self) -> int:
+        return self.latent_rows * self.latent_classes
+
+
+@dataclass
+class AgentConfig:
+    """Actor-critic architecture + optimisers (reference: Agent.py:7-76)."""
+
+    actor_hidden_1: int = 200
+    actor_hidden_2: int = 200
+    critic_hidden_1: int = 200
+    critic_hidden_2: int = 200
+    critic_buckets: int = 255
+    actor_lr: float = 8e-5
+    actor_betas: Tuple[float, float] = (0.9, 0.999)
+    actor_eps: float = 1e-5
+    critic_lr: float = 1e-4
+    critic_betas: Tuple[float, float] = (0.9, 0.999)
+    critic_eps: float = 1e-5
+    weight_decay: float = 1e-6
+    grad_clip: float = 100.0              # Agent.py:147-148
+    nu: float = 3e-4                      # entropy coefficient (Agent.py:124)
+    lambda_: float = 0.95
+    gamma: float = 0.99
+    target_tau: float = 0.02              # soft target update (Agent.py:90)
+    s_ema: float = 0.99                   # return-scale EMA smoothing (Agent.py:61)
+
+
+@dataclass
+class TrainConfig:
+    """Training loop schedule (reference: car_racer_config.yaml:27-48, Dreamer.py:324-372)."""
+
+    horizon: int = 30                     # WM unroll length == imagination length
+    batch_size: int = 50
+    sequence_length: int = 50             # replay sample length; also env steps per iter
+    buffer_size: int = 200_000
+    training_iterations: int = 10_000
+    random_iterations: int = 500
+    wm_epochs: int = 2
+    ac_epochs: int = 2
+    seed: int = 42
+    eval_every: int = 500
+    eval_episodes: int = 3
+    final_eval_episodes: int = 10
+    checkpoint_every: int = 1000
+    log_every: int = 1000
+
+
+@dataclass
+class EnvConfig:
+    env_id: str = "CarRacing-v3"
+    action_dim: int = 3
+    action_repeat: int = 4
+    num_envs: int = 1                     # vectorized env farm size (reference: 1)
+    crop_rows: int = 84                   # CarRacing dashboard crop (Adaptors.py:35-46)
+    max_episode_steps: Optional[int] = None
+
+
+@dataclass
+class RuntimeConfig:
+    """TPU/JAX execution knobs (no equivalent in the reference)."""
+
+    compute_dtype: str = "bfloat16"       # matmul/conv compute dtype; 'float32' for parity tests
+    use_pallas_gru: bool = False          # fused Pallas GRU cell inside lax.scan
+    data_axis: str = "data"               # mesh axis names
+    model_axis: str = "model"
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device
+    checkpoint_dir: str = "./models"
+    log_dir: str = "./logs"
+    profile: bool = False
+    remat_decoder: bool = False           # jax.checkpoint the decoder to save HBM
+
+
+@dataclass
+class DreamerConfig:
+    wm: WorldModelConfig = field(default_factory=WorldModelConfig)
+    agent: AgentConfig = field(default_factory=AgentConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # ------------------------------------------------------------------ #
+    # Loaders
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_yaml(cls, path: str, overrides: Sequence[str] = ()) -> "DreamerConfig":
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        if _is_flat_reference_config(raw):
+            cfg = cls.from_flat_dict(raw)
+        else:
+            cfg = cls.from_nested_dict(raw)
+        for ov in overrides:
+            cfg = cfg.with_override(ov)
+        return cfg
+
+    @classmethod
+    def from_flat_dict(cls, d: Dict[str, Any]) -> "DreamerConfig":
+        """Load the reference's flat key schema (car_racer_config.yaml:1-52)."""
+        g = d.get
+        wm = WorldModelConfig(
+            hidden_dim=g("hidden_state_dims", 600),
+            latent_rows=tuple(g("latent_state_dims", (32, 32)))[0],
+            latent_classes=tuple(g("latent_state_dims", (32, 32)))[1],
+            obs_size=tuple(g("observation_dims", (64, 64))),
+            encoder_filters_1=g("encoder_filter_num_1", 32),
+            encoder_filters_2=g("encoder_filter_num_2", 64),
+            encoder_hidden=g("encoder_hidden_layer_nodes", 200),
+            decoder_filters_1=g("decoder_filter_num_1", 32),
+            decoder_filters_2=g("decoder_filter_num_2", 64),
+            decoder_hidden=g("decoder_hidden_layer_nodes", 200),
+            dyn_hidden_1=g("dyn_pred_hidden_num_nodes_1", 200),
+            dyn_hidden_2=g("dyn_pred_hidden_num_nodes_2", 200),
+            rew_hidden_1=g("rew_pred_hidden_num_nodes_1", 200),
+            rew_hidden_2=g("rew_pred_hidden_num_nodes_2", 200),
+            cont_hidden_1=g("cont_pred_hidden_num_nodes_1", 200),
+            cont_hidden_2=g("cont_pred_hidden_num_nodes_2", 200),
+            reward_buckets=g("critic_reward_buckets", 255),
+            lr=g("world_model_lr", 1e-4),
+            betas=tuple(g("world_model_betas", (0.9, 0.999))),
+            eps=g("world_model_eps", 1e-5),
+            beta_pred=g("beta_prediction", 1.0),
+            beta_dyn=g("beta_dynamics", 0.5),
+            beta_rep=g("beta_representation", 0.1),
+        )
+        agent = AgentConfig(
+            actor_hidden_1=g("hidden_layer_actor_1_size", 200),
+            actor_hidden_2=g("hidden_layer_actor_2_size", 200),
+            critic_hidden_1=g("hidden_layer_critic_1_size", 200),
+            critic_hidden_2=g("hidden_layer_critic_2_size", 200),
+            critic_buckets=g("critic_reward_buckets", 255),
+            actor_lr=g("actor_lr", 8e-5),
+            actor_betas=tuple(g("actor_betas", (0.9, 0.999))),
+            actor_eps=g("actor_eps", 1e-5),
+            critic_lr=g("critic_lr", 1e-4),
+            critic_betas=tuple(g("critic_betas", (0.9, 0.999))),
+            critic_eps=g("critic_eps", 1e-5),
+            nu=g("nu", 3e-4),
+            lambda_=g("lambda_", 0.95),
+            gamma=g("gamma", 0.99),
+        )
+        train = TrainConfig(
+            horizon=g("horizon", 30),
+            batch_size=g("batch_size", 50),
+            sequence_length=g("sequence_length", 50),
+            buffer_size=g("buffer_size", 200_000),
+            training_iterations=g("training_iterations", 10_000),
+            random_iterations=g("random_iterations", 500),
+            wm_epochs=g("WM_epochs", 2),
+            ac_epochs=g("AC_epochs", 2),
+            seed=g("seed", 42),
+        )
+        env = EnvConfig(
+            env_id=g("env_id", "CarRacing-v3"),
+            action_dim=g("action_dims", 3),
+        )
+        runtime = RuntimeConfig()
+        for k, v in d.items():
+            if k.startswith("runtime_"):
+                setattr(runtime, k[len("runtime_"):], v)
+        return cls(wm=wm, agent=agent, train=train, env=env, runtime=runtime)
+
+    @classmethod
+    def from_nested_dict(cls, d: Dict[str, Any]) -> "DreamerConfig":
+        def build(dc_cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in (sub or {}).items():
+                if k not in fields:
+                    raise KeyError(f"Unknown config key {dc_cls.__name__}.{k}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            wm=build(WorldModelConfig, d.get("wm")),
+            agent=build(AgentConfig, d.get("agent")),
+            train=build(TrainConfig, d.get("train")),
+            env=build(EnvConfig, d.get("env")),
+            runtime=build(RuntimeConfig, d.get("runtime")),
+        )
+
+    def with_override(self, dotted: str) -> "DreamerConfig":
+        """Apply 'section.key=value' override (value parsed as YAML)."""
+        path, _, value = dotted.partition("=")
+        section, _, key = path.partition(".")
+        parsed = yaml.safe_load(value)
+        if isinstance(parsed, list):
+            parsed = tuple(parsed)
+        sub = getattr(self, section)
+        if not hasattr(sub, key):
+            raise KeyError(f"Unknown config key {section}.{key}")
+        new_sub = dataclasses.replace(sub, **{key: parsed})
+        return dataclasses.replace(self, **{section: new_sub})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _is_flat_reference_config(d: Dict[str, Any]) -> bool:
+    nested_keys = {"wm", "agent", "train", "env", "runtime"}
+    return not (set(d.keys()) <= nested_keys and any(k in d for k in nested_keys))

@@ -1,0 +1,160 @@
+"""RSSM scan tests: scan-vs-step equivalence, warm-start semantics,
+imagination shapes, STE gradient flow (SURVEY §4 test pyramid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamer_tpu.rssm import RSSM
+from tests.test_nets import small_cfg
+
+
+@pytest.fixture(scope="module")
+def rssm_small():
+    cfg = small_cfg()
+    rssm = RSSM(cfg)
+    params = rssm.init_params(jax.random.PRNGKey(0))
+    return cfg, rssm, params
+
+
+def _rand_obs(key, B, T, size=32):
+    return jax.random.uniform(key, (B, T, size, size, 3), minval=-0.5, maxval=0.5)
+
+
+class TestObserveSequence:
+    def test_shapes(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        B, T = 3, 6
+        obs = _rand_obs(jax.random.PRNGKey(1), B, T)
+        actions = jax.random.normal(jax.random.PRNGKey(2), (B, T, 3))
+        seq = rssm.observe_sequence(params, obs, actions, jax.random.PRNGKey(3))
+        assert seq.h.shape == (B, T, cfg.hidden_dim)
+        assert seq.z.shape == (B, T, cfg.latent_dim)
+        assert seq.post_logits.shape == (B, T, cfg.latent_rows, cfg.latent_classes)
+
+    def test_scan_matches_stepwise_loop(self, rssm_small):
+        """The lax.scan unroll must equal the reference's python loop of
+        observe_step calls (WorldModel.py:91-107) given the same keys."""
+        cfg, rssm, params = rssm_small
+        B, T = 2, 5
+        obs = _rand_obs(jax.random.PRNGKey(4), B, T)
+        actions = jax.random.normal(jax.random.PRNGKey(5), (B, T, 3))
+        key = jax.random.PRNGKey(6)
+
+        seq = rssm.observe_sequence(params, obs, actions, key)
+
+        # Hand loop with identical per-step keys.
+        keys = jax.random.split(key, T)
+        h, z = rssm.initial_state(B)
+        hs, zs, lg = [], [], []
+        for t in range(T):
+            a_prev = actions[:, t - 1] if t > 0 else jnp.zeros((B, 3))
+            z, h, logits = rssm.observe_step(params, z, h, a_prev, obs[:, t], keys[t])
+            hs.append(h); zs.append(z); lg.append(logits)
+
+        np.testing.assert_allclose(seq.h, jnp.stack(hs, 1), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(seq.z, jnp.stack(zs, 1), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(seq.post_logits, jnp.stack(lg, 1), rtol=2e-5, atol=2e-5)
+
+    def test_latents_are_onehot_forward(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        obs = _rand_obs(jax.random.PRNGKey(7), 2, 4)
+        seq = rssm.observe_sequence(params, obs, jnp.zeros((2, 4, 3)), jax.random.PRNGKey(8))
+        z = np.asarray(seq.z).reshape(2, 4, cfg.latent_rows, cfg.latent_classes)
+        np.testing.assert_allclose(z.sum(-1), np.ones((2, 4, cfg.latent_rows)), atol=1e-5)
+
+    def test_gradient_flows_to_encoder(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        obs = _rand_obs(jax.random.PRNGKey(9), 2, 3)
+
+        def loss(p):
+            seq = rssm.observe_sequence(p, obs, jnp.zeros((2, 3, 3)), jax.random.PRNGKey(10))
+            return jnp.sum(seq.z ** 2)  # through the STE
+
+        g = jax.grad(loss)(params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["enc_conv0"]))
+        assert gnorm > 0.0
+
+
+class TestWarmStart:
+    def test_differs_from_observe_at_t0(self, rssm_small):
+        """Warm start encodes z0 from (h=0, obs0) WITHOUT a GRU step
+        (Dreamer.py:252-253) — unlike observe_sequence which GRU-steps at t=0."""
+        cfg, rssm, params = rssm_small
+        obs = _rand_obs(jax.random.PRNGKey(11), 2, 4)
+        actions = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 3))
+        key = jax.random.PRNGKey(13)
+
+        z_fin, h_fin = rssm.warm_start(params, obs, actions, key)
+        assert z_fin.shape == (2, cfg.latent_dim)
+        assert h_fin.shape == (2, cfg.hidden_dim)
+
+        # Python re-implementation of Dreamer.py:244-262
+        key0, key_scan = jax.random.split(key)
+        keys = jax.random.split(key_scan, 3)
+        h = jnp.zeros((2, cfg.hidden_dim))
+        feat0 = rssm.encode_obs(params, obs[:, 0])
+        z = rssm._sample(rssm.posterior_logits(params, feat0, h), key0)
+        for t in range(1, 4):
+            z, h, _ = rssm.observe_step(params, z, h, actions[:, t - 1], obs[:, t], keys[t - 1])
+        np.testing.assert_allclose(z_fin, z, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(h_fin, h, rtol=2e-5, atol=2e-5)
+
+
+class TestImagine:
+    def test_shapes_and_reward_alignment(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        B, H = 3, 5
+
+        def actor_fn(h, z):
+            return jnp.zeros((h.shape[0], 3)), jnp.ones((h.shape[0], 3)) * 0.5
+
+        h0 = jnp.zeros((B, cfg.hidden_dim))
+        z0 = jnp.zeros((B, cfg.latent_dim))
+        traj = rssm.imagine(params, actor_fn, z0, h0, H, jax.random.PRNGKey(14))
+        assert traj.h.shape == (B, H + 1, cfg.hidden_dim)
+        assert traj.z.shape == (B, H + 1, cfg.latent_dim)
+        assert traj.action.shape == (B, H, 3)
+        assert traj.reward.shape == (B, H)
+        assert traj.cont.shape == (B, H)
+        assert (np.asarray(traj.cont) >= 0).all() and (np.asarray(traj.cont) <= 1).all()
+        assert (np.abs(np.asarray(traj.action)) < 1).all()
+
+    def test_reward_matches_per_step_predict(self, rssm_small):
+        """Post-scan batched reward head == the reference's per-step
+        imagine_step reward (WorldModel.py:72-77): reward[t] is the head at
+        state t+1."""
+        cfg, rssm, params = rssm_small
+        B, H = 2, 4
+
+        def actor_fn(h, z):
+            return jnp.tanh(h[:, :3]) * 0.1, jnp.ones((h.shape[0], 3)) * 0.3
+
+        h0 = jax.random.normal(jax.random.PRNGKey(15), (B, cfg.hidden_dim)) * 0.1
+        z0 = jnp.zeros((B, cfg.latent_dim))
+        traj = rssm.imagine(params, actor_fn, z0, h0, H, jax.random.PRNGKey(16))
+        for t in range(H):
+            r = rssm.reward_pred(params, traj.h[:, t + 1], traj.z[:, t + 1])
+            np.testing.assert_allclose(traj.reward[:, t], r, rtol=1e-4, atol=1e-5)
+
+    def test_actor_gradients_flow_through_dynamics(self, rssm_small):
+        """Actor params must receive gradient through the imagined dynamics
+        (the reference's dream runs outside no_grad — SURVEY §3.4)."""
+        cfg, rssm, params = rssm_small
+        from dreamer_tpu.nets import Actor
+
+        actor = Actor(action_dim=3)
+        h0 = jnp.zeros((2, cfg.hidden_dim))
+        z0 = jnp.ones((2, cfg.latent_dim)) / cfg.latent_classes
+        a_params = actor.init(jax.random.PRNGKey(17), h0, z0)["params"]
+
+        def loss(ap):
+            traj = rssm.imagine(
+                params, lambda h, z: actor.apply({"params": ap}, h, z),
+                z0, h0, 3, jax.random.PRNGKey(18))
+            return jnp.sum(traj.h[:, -1] ** 2)  # depends on actions via dynamics
+
+        g = jax.grad(loss)(a_params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert gnorm > 0.0
