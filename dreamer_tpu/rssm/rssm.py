@@ -57,9 +57,10 @@ class RSSM:
     """Functional wrapper around WMNets: owns the module instance, exposes
     pure functions over an explicit params pytree."""
 
-    def __init__(self, cfg: WorldModelConfig, dtype: Any = jnp.float32,
-                 use_pallas_gru: bool = False):
+    def __init__(self, cfg: WorldModelConfig, action_dim: int = 3,
+                 dtype: Any = jnp.float32, use_pallas_gru: bool = False):
         self.cfg = cfg
+        self.action_dim = action_dim
         self.nets = WMNets(cfg, dtype=dtype, use_pallas_gru=use_pallas_gru)
         self.buckets = bucket_values(cfg.reward_buckets)
 
@@ -70,7 +71,7 @@ class RSSM:
     def init_params(self, key: jax.Array) -> Any:
         c = self.cfg
         obs = jnp.zeros((1, c.obs_size[0], c.obs_size[1], 3), jnp.float32)
-        action = jnp.zeros((1, 3), jnp.float32)  # action_dim only affects GRU input width
+        action = jnp.zeros((1, self.action_dim), jnp.float32)
         h = jnp.zeros((1, c.hidden_dim), jnp.float32)
         z = jnp.zeros((1, c.latent_dim), jnp.float32)
         return self.nets.init(key, obs, action, h, z)["params"]

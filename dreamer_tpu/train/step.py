@@ -1,0 +1,173 @@
+"""Trainer: wires RSSM + actor-critic + optimizers + replay into jitted
+on-device programs.
+
+The reference interleaves host-side loops of small device calls
+(Dreamer.py:228-287); here each of the following is ONE compiled XLA program:
+
+- ``wm_step``:  sample + WM_epochs gradient steps (lax.scan over epochs)
+- ``ac_step``:  sample + AC_epochs fused warmstart+dream+update steps
+- ``train_iteration``: both of the above back to back (used by bench and the
+  orchestrator fast path)
+- ``policy_*``: the per-env-step act/observe programs for rollout and eval.
+
+All functions are mesh-ready: pure pytree-in/pytree-out with no Python-side
+state, so the same code jits under a sharded Mesh (dreamer_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dreamer_tpu.config import DreamerConfig
+from dreamer_tpu.replay import ReplayBuffer, ReplayState
+from dreamer_tpu.rssm import RSSM
+from dreamer_tpu.train.agent import (AgentTrainer, make_actor_optimizer,
+                                     make_critic_optimizer)
+from dreamer_tpu.train.state import ACTrainState, DreamerState, WMTrainState
+from dreamer_tpu.train.world_model import make_wm_optimizer, wm_update
+
+
+class Trainer:
+    def __init__(self, cfg: DreamerConfig, jit: bool = True):
+        self.cfg = cfg
+        dtype = jnp.dtype(cfg.runtime.compute_dtype)
+        self.rssm = RSSM(cfg.wm, action_dim=cfg.env.action_dim, dtype=dtype,
+                         use_pallas_gru=cfg.runtime.use_pallas_gru)
+        self.agent = AgentTrainer(cfg, dtype=dtype)
+        self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
+                                   cfg.env.action_dim, cfg.wm.obs_size)
+        self.wm_opt = make_wm_optimizer(cfg)
+        self.actor_opt = make_actor_optimizer(cfg)
+        self.critic_opt = make_critic_optimizer(cfg)
+
+        maybe_jit = jax.jit if jit else (lambda f, **kw: f)
+        self.wm_step = maybe_jit(self._wm_step)
+        self.ac_step = maybe_jit(self._ac_step)
+        self.train_iteration = maybe_jit(self._train_iteration)
+        self.policy_act = maybe_jit(self._policy_act, static_argnames=("deterministic",))
+        self.policy_observe = maybe_jit(self._policy_observe)
+        self.policy_reset = maybe_jit(self._policy_reset)
+        self.policy_act_observe = maybe_jit(self._policy_act_observe,
+                                            static_argnames=("deterministic",))
+
+    # ------------------------------------------------------------------ #
+    # Init
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, key: jax.Array) -> DreamerState:
+        k_wm, k_ac = jax.random.split(key)
+        wm_params = self.rssm.init_params(k_wm)
+        actor_params, critic_params = self.agent.init_params(
+            k_ac, self.cfg.wm.hidden_dim, self.cfg.wm.latent_dim)
+        # Target critic starts as an exact copy (Agent.py:50).
+        target = jax.tree.map(jnp.copy, critic_params)
+        return DreamerState(
+            wm=WMTrainState(params=wm_params,
+                            opt_state=self.wm_opt.init(wm_params)),
+            ac=ACTrainState(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                target_critic_params=target,
+                actor_opt=self.actor_opt.init(actor_params),
+                critic_opt=self.critic_opt.init(critic_params),
+                s_scale=jnp.asarray(1.0, jnp.float32),
+            ),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Jitted training programs
+    # ------------------------------------------------------------------ #
+
+    def _wm_step(self, state: DreamerState, buf: ReplayState, key: jax.Array
+                 ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
+        """WM_epochs gradient steps, each on a fresh sample (Dreamer.py:228-242)."""
+        def epoch(wm_state, k):
+            k_s, k_u = jax.random.split(k)
+            batch = self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size)
+            new_state, metrics = wm_update(self.rssm, self.wm_opt, wm_state, batch, k_u, self.cfg)
+            return new_state, metrics
+
+        keys = jax.random.split(key, self.cfg.train.wm_epochs)
+        wm_state, metrics = jax.lax.scan(epoch, state.wm, keys)
+        metrics = jax.tree.map(lambda x: x[-1], metrics)  # report last epoch
+        return state._replace(wm=wm_state), metrics
+
+    def _ac_step(self, state: DreamerState, buf: ReplayState, key: jax.Array
+                 ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
+        """AC_epochs fused dream+update steps (Dreamer.py:264-287)."""
+        def epoch(ac_state, k):
+            k_s, k_u = jax.random.split(k)
+            batch = self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size)
+            new_state, metrics = self.agent.ac_update(
+                self.actor_opt, self.critic_opt, ac_state, state.wm.params,
+                self.rssm, batch, k_u)
+            return new_state, metrics
+
+        keys = jax.random.split(key, self.cfg.train.ac_epochs)
+        ac_state, metrics = jax.lax.scan(epoch, state.ac, keys)
+        metrics = jax.tree.map(lambda x: jnp.mean(x), metrics)  # reference averages (Dreamer.py:285-287)
+        return state._replace(ac=ac_state), metrics
+
+    def _train_iteration(self, state: DreamerState, buf: ReplayState, key: jax.Array
+                         ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
+        """One full learner iteration: WM epochs then AC epochs (Dreamer.py:338-341)."""
+        k_wm, k_ac = jax.random.split(key)
+        state, wm_metrics = self._wm_step(state, buf, k_wm)
+        state, ac_metrics = self._ac_step(state, buf, k_ac)
+        state = state._replace(step=state.step + 1)
+        return state, {**wm_metrics, **ac_metrics}
+
+    # ------------------------------------------------------------------ #
+    # Policy programs (rollout / eval) — batched over N envs
+    # ------------------------------------------------------------------ #
+
+    def _policy_reset(self, wm_params, obs_u8: jnp.ndarray, key: jax.Array):
+        """Episode-start state: h = 0, z = encode(h=0, obs) (Dreamer.py:189-191).
+
+        obs_u8: (N, H, W, 3) uint8. Returns (h, z)."""
+        obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
+        h = jnp.zeros((obs.shape[0], self.cfg.wm.hidden_dim), jnp.float32)
+        z = self.rssm.encode_initial(wm_params, obs, key, h)
+        return h, z
+
+    def _policy_act(self, actor_params, h, z, key, deterministic: bool = False):
+        """Sample (or take tanh(mu)) action from the current state (Agent.py:202-210)."""
+        mu, sigma = self.agent.actor.apply({"params": actor_params}, h, z)
+        if deterministic:
+            return jnp.tanh(mu)
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        return jnp.tanh(mu + sigma * eps)
+
+    def _policy_observe(self, wm_params, z, h, action, obs_u8, key):
+        """Posterior step after an env transition (WorldModel.py:79-82)."""
+        obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
+        z2, h2, _ = self.rssm.observe_step(wm_params, z, h, action, obs, key)
+        return z2, h2
+
+    def _policy_act_observe(self, wm_params, actor_params, h, z, action_prev,
+                            obs_u8, done, key, deterministic: bool = False):
+        """Fused per-env-step program for vectorized rollout: one device call
+        per env step instead of the reference's two (Dreamer.py:194-226).
+
+        Given the PREVIOUS action and the NEW observation (plus a done mask),
+        computes the posterior update — with episode-reset rows re-encoded
+        from h=0 (Dreamer.py:214-223) — then samples the next action.
+
+        done: (N,) bool — envs that were reset (obs_u8 is their reset obs).
+        Returns (h', z', action').
+        """
+        k_obs, k_reset, k_act = jax.random.split(key, 3)
+        obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
+        z_step, h_step, _ = self.rssm.observe_step(wm_params, z, h, action_prev, obs, k_obs)
+        h0 = jnp.zeros_like(h)
+        z_reset = self.rssm.encode_initial(wm_params, obs, k_reset, h0)
+        d = done[:, None].astype(jnp.float32)
+        h_next = (1.0 - d) * h_step + d * h0
+        z_next = (1.0 - d) * z_step + d * z_reset
+        action = self._policy_act(actor_params, h_next, z_next, k_act, deterministic)
+        return h_next, z_next, action

@@ -1,0 +1,133 @@
+"""World-model loss and update — one jitted program per gradient step.
+
+Replicates the reference's loss semantics bit-for-bit in scan/batched form
+(WorldModel.py:84-202 / SURVEY §3.3), including its deliberate quirks:
+
+- obs likelihood is an UNWEIGHTED negative SSE over pixels (unit-variance
+  Gaussian up to constants, WorldModel.py:129), applied to steps 1..H-1.
+- reward/continue heads run on steps 1..H-1 with targets r[0..H-2]/c[0..H-2]
+  (WorldModel.py:113-123); rewards are already symlog (symlog-at-write).
+- all likelihoods masked by continue flags c[0..H-2] (WorldModel.py:170-173).
+- KL balancing: KL(sg(post)‖prior) and KL(post‖sg(prior)) on steps 1..H-1,
+  each a masked MEAN over B*(H-1) elements (denominator unmasked —
+  WorldModel.py:180-183).
+- free bits applied AFTER the mean: max(1, E[KL]) (WorldModel.py:187-188).
+- loss_pred normalised by mask.sum() + 1e-5 (WorldModel.py:185-186).
+- NaN/Inf loss skips the update entirely (WorldModel.py:191-193).
+- global-norm clip 100 + AdamW(wd=1e-6) (WorldModel.py:63-69,198).
+
+TPU deviation: bf16 compute via module dtype instead of fp16 GradScaler
+(bf16 needs no loss scaling); losses are reduced in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dreamer_tpu.config import DreamerConfig
+from dreamer_tpu.core.dists import categorical_kl
+from dreamer_tpu.core.math import bucket_values, twohot
+from dreamer_tpu.rssm import RSSM
+from dreamer_tpu.train.state import WMTrainState
+
+
+def make_wm_optimizer(cfg: DreamerConfig) -> optax.GradientTransformation:
+    w = cfg.wm
+    return optax.chain(
+        optax.clip_by_global_norm(w.grad_clip),
+        optax.adamw(w.lr, b1=w.betas[0], b2=w.betas[1], eps=w.eps,
+                    weight_decay=w.weight_decay),
+    )
+
+
+def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
+            rewards: jnp.ndarray, conts: jnp.ndarray, key: jax.Array,
+            cfg: DreamerConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total WM loss + metrics on one sampled batch.
+
+    obs_u8: (B, T, H, W, 3) uint8; actions (B, T, A); rewards (B, T) symlog;
+    conts (B, T).  Only the first ``horizon`` steps are used
+    (WorldModel.py:156-160).
+    """
+    w = cfg.wm
+    H = cfg.train.horizon
+    obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
+    obs, actions = obs[:, :H], actions[:, :H]
+    rewards, conts = rewards[:, :H], conts[:, :H]
+
+    seq = rssm.observe_sequence(params, obs, actions, key)
+
+    prior_logits = rssm.prior_logits(params, seq.h)          # (B, H, R, C)
+    dec_mu = rssm.decode(params, seq.h, seq.z)               # (B, H, h, w, 3)
+    rew_logits = rssm.reward_logits(params, seq.h[:, 1:], seq.z[:, 1:])
+    cont_logits = rssm.cont_logit(params, seq.h[:, 1:], seq.z[:, 1:]).squeeze(-1)
+
+    # --- likelihoods (all f32) -------------------------------------- #
+    obs_sse = jnp.sum(jnp.square(dec_mu.astype(jnp.float32) - obs),
+                      axis=(-3, -2, -1))                     # (B, H)
+    obs_log_lh = -obs_sse[:, 1:]                             # steps 1..H-1
+
+    rew_targets = rewards[:, : H - 1]                        # symlog already
+    rew_th = twohot(rew_targets, rssm.buckets)               # (B, H-1, K)
+    rew_logp = jax.nn.log_softmax(rew_logits.astype(jnp.float32), axis=-1)
+    rew_log_lh = jnp.sum(rew_th * rew_logp, axis=-1)         # (B, H-1)
+
+    cont_targets = conts[:, : H - 1]
+    x = cont_logits.astype(jnp.float32)
+    cont_nll = -(cont_targets * jax.nn.log_sigmoid(x)
+                 + (1.0 - cont_targets) * jax.nn.log_sigmoid(-x))  # positive NLL
+
+    mask = conts[:, : H - 1]                                 # (B, H-1)
+    obs_log_lh = obs_log_lh * mask
+    rew_log_lh = rew_log_lh * mask
+    cont_nll = cont_nll * mask
+
+    denom = jnp.sum(mask) + 1e-5
+    loss_pred = (-jnp.sum(obs_log_lh) - jnp.sum(rew_log_lh) + jnp.sum(cont_nll)) / denom
+
+    # --- KL balancing on steps 1..H-1 ------------------------------- #
+    post = seq.post_logits[:, 1:]
+    prior = prior_logits[:, 1:]
+    kl_dyn = categorical_kl(jax.lax.stop_gradient(post), prior).sum(-1)   # (B, H-1)
+    kl_rep = categorical_kl(post, jax.lax.stop_gradient(prior)).sum(-1)
+    dkl_dyn = jnp.mean(kl_dyn * mask)
+    dkl_rep = jnp.mean(kl_rep * mask)
+    loss_dyn = jnp.maximum(w.free_bits, dkl_dyn)
+    loss_rep = jnp.maximum(w.free_bits, dkl_rep)
+
+    total = w.beta_pred * loss_pred + w.beta_dyn * loss_dyn + w.beta_rep * loss_rep
+    metrics = {
+        "wm/loss": total,
+        "wm/loss_pred": loss_pred,
+        "wm/kl_dyn": dkl_dyn,
+        "wm/kl_rep": dkl_rep,
+        "wm/obs_sse": jnp.sum(obs_sse[:, 1:] * mask) / denom,
+        "wm/reward_ce": -jnp.sum(rew_log_lh) / denom,
+        "wm/cont_ce": jnp.sum(cont_nll) / denom,
+    }
+    return total, metrics
+
+
+def wm_update(rssm: RSSM, optimizer: optax.GradientTransformation,
+              state: WMTrainState, batch, key: jax.Array,
+              cfg: DreamerConfig) -> Tuple[WMTrainState, Dict[str, jnp.ndarray]]:
+    """One gradient step.  NaN/Inf total loss skips the update
+    (WorldModel.py:191-193) via a tree-wide where."""
+    obs, actions, rewards, conts = batch
+
+    def loss_fn(p):
+        return wm_loss(rssm, p, obs, actions, rewards, conts, key, cfg)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    finite = jnp.isfinite(loss)
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    sel = lambda new, old: jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+    metrics["wm/grad_norm"] = optax.global_norm(grads)
+    metrics["wm/update_skipped"] = (~finite).astype(jnp.float32)
+    return WMTrainState(params=sel(new_params, state.params),
+                        opt_state=sel(new_opt, state.opt_state)), metrics

@@ -1,0 +1,100 @@
+"""Replay buffer tests: ring semantics, symlog-at-write, head-collision
+re-roll, and sampled-window contiguity (reference semantics: Buffer.py:5-63)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamer_tpu.core.math import symlog
+from dreamer_tpu.replay import ReplayBuffer
+
+
+def make_buffer(capacity=32, T=8):
+    return ReplayBuffer(capacity=capacity, sequence_length=T, action_dim=2, obs_size=(8, 8))
+
+
+def add_n(buf, state, n, start_val=0):
+    """Add n transitions whose reward encodes their global index."""
+    obs = jnp.full((n, 8, 8, 3), 1, jnp.uint8) * (
+        (jnp.arange(start_val, start_val + n, dtype=jnp.int32) % 250)[:, None, None, None]
+    ).astype(jnp.uint8)
+    action = jnp.ones((n, 2), jnp.float32)
+    reward = jnp.arange(start_val, start_val + n, dtype=jnp.float32)
+    cont = jnp.ones((n,), jnp.float32)
+    return buf.add_batch(state, obs, action, reward, cont)
+
+
+class TestWrite:
+    def test_size_and_head(self):
+        buf = make_buffer()
+        s = buf.init_state()
+        s = add_n(buf, s, 10)
+        assert int(s.size) == 10 and int(s.next_idx) == 10
+        s = add_n(buf, s, 30, 10)  # wraps: 40 > 32
+        assert int(s.size) == 32 and int(s.next_idx) == 8
+
+    def test_rewards_symlogged_at_write(self):
+        buf = make_buffer()
+        s = add_n(buf, buf.init_state(), 5)
+        np.testing.assert_allclose(
+            np.asarray(s.reward[:5]), np.asarray(symlog(jnp.arange(5.0))), rtol=1e-6)
+
+    def test_ring_overwrite(self):
+        buf = make_buffer()
+        s = add_n(buf, buf.init_state(), 32)
+        s = add_n(buf, s, 4, 100)  # overwrites slots 0..3
+        np.testing.assert_allclose(np.asarray(s.reward[:4]),
+                                   np.asarray(symlog(jnp.arange(100.0, 104.0))), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.reward[4]), float(symlog(jnp.asarray(4.0))), rtol=1e-6)
+
+    def test_obs_stays_uint8(self):
+        buf = make_buffer()
+        s = add_n(buf, buf.init_state(), 3)
+        assert s.obs.dtype == jnp.uint8
+
+
+class TestSample:
+    def test_shapes(self):
+        buf = make_buffer()
+        s = add_n(buf, buf.init_state(), 20)
+        obs, act, rew, cont = buf.sample(s, jax.random.PRNGKey(0), 6)
+        assert obs.shape == (6, 8, 8, 8, 3) and obs.dtype == jnp.uint8
+        assert act.shape == (6, 8, 2)
+        assert rew.shape == (6, 8) and cont.shape == (6, 8)
+
+    def test_windows_contiguous(self):
+        # reward encodes the write index -> sampled windows must be consecutive
+        buf = make_buffer()
+        s = add_n(buf, buf.init_state(), 20)
+        _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(1), 16)
+        raw = np.expm1(np.abs(np.asarray(rew))) * np.sign(np.asarray(rew))  # symexp
+        diffs = np.diff(np.round(raw), axis=1)
+        np.testing.assert_allclose(diffs, np.ones_like(diffs), atol=1e-3)
+
+    def test_no_window_straddles_head_when_full(self):
+        buf = make_buffer(capacity=32, T=8)
+        s = add_n(buf, buf.init_state(), 32)
+        s = add_n(buf, s, 5, 32)  # next_idx = 5
+        head = int(s.next_idx)
+        collisions = 0
+        for seed in range(200):
+            _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(seed), 8)
+            raw = np.round(np.expm1(np.abs(np.asarray(rew))) * np.sign(np.asarray(rew)))
+            # Window straddles the head iff its raw indices are non-consecutive.
+            diffs = np.diff(raw, axis=1)
+            collisions += int((np.abs(diffs - 1) > 1e-3).any(axis=1).sum())
+        # The reference re-rolls once; collisions should be rare (reroll can
+        # itself collide with prob (T-1)/valid ~ 0.28 per colliding draw).
+        assert collisions < 200 * 8 * 0.12
+
+    def test_sampling_uniform_over_starts(self):
+        buf = make_buffer(capacity=64, T=4)
+        s = add_n(buf, buf.init_state(), 40)
+        starts = []
+        for seed in range(100):
+            _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(seed), 10)
+            raw = np.round(np.expm1(np.abs(np.asarray(rew[:, 0]))) * np.sign(np.asarray(rew[:, 0])))
+            starts.extend(raw.tolist())
+        starts = np.array(starts)
+        assert starts.min() >= 0 and starts.max() <= 36  # valid_starts = 40-4+1
+        assert starts.std() > 5  # spread over the range
