@@ -1,0 +1,14 @@
+from dreamer_tpu.envs.adaptors import (ActionRepeat, CarRacerAdaptor, CropObservation,
+                                       DroneAdaptor, make_env)
+from dreamer_tpu.envs.fake import FakeEnv
+from dreamer_tpu.envs.vector import EnvFarm
+
+__all__ = [
+    "ActionRepeat",
+    "CarRacerAdaptor",
+    "CropObservation",
+    "DroneAdaptor",
+    "make_env",
+    "FakeEnv",
+    "EnvFarm",
+]

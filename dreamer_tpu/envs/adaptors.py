@@ -1,0 +1,140 @@
+"""Gymnasium wrappers mirroring the reference's Adaptors.py, plus the env
+factory assembling the reference's wrapper stack (train_car_racer.py:29-36):
+
+    Crop(84 rows) -> Resize(64x64) -> CarRacerAdaptor -> ActionRepeat(4)
+
+Observations stay HWC uint8 end to end (the TPU pipeline is NHWC; the
+reference transposes to CHW for torch, which we deliberately do not).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import gymnasium as gym
+import numpy as np
+
+
+class CarRacerAdaptor(gym.ActionWrapper):
+    """[-1,1]^3 agent actions -> CarRacing (steer, gas, brake)
+    (reference: Adaptors.py:24-33): gas/brake rescaled from [-1,1] to [0,1]."""
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.action_space = gym.spaces.Box(low=-1, high=1, shape=(3,), dtype=np.float32)
+
+    def action(self, action):
+        steering = action[0]
+        gas = (action[1] + 1) / 2
+        brake = (action[2] + 1) / 2
+        return np.array([steering, gas, brake], dtype=np.float64)
+
+
+class DroneAdaptor(gym.ActionWrapper):
+    """[-1,1]^4 -> PyFlyt (vx, vy, vz, yaw-rate) (reference: Adaptors.py:6-22).
+    PyFlyt is optional — the wrapper itself has no hard dependency."""
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.action_space = gym.spaces.Box(low=-1, high=1, shape=(4,), dtype=np.float32)
+
+    def action(self, action):
+        return np.array([action[0], action[1], action[2], action[3]], dtype=np.float32)
+
+
+class CropObservation(gym.ObservationWrapper):
+    """Crop CarRacing's 96x96 frame to the top ``rows`` rows, removing the
+    dashboard (reference: Adaptors.py:35-46, rows=84)."""
+
+    def __init__(self, env, rows: int = 84):
+        super().__init__(env)
+        h, w, c = env.observation_space.shape
+        self.rows = rows
+        self.observation_space = gym.spaces.Box(low=0, high=255, shape=(rows, w, c),
+                                                dtype=np.uint8)
+
+    def observation(self, obs):
+        return obs[: self.rows, :, :]
+
+
+class ResizeObservation(gym.ObservationWrapper):
+    """Area-resize to (size, size) uint8.  Uses cv2 when present, else a
+    numpy box-filter fallback so the dependency stays optional (the
+    reference's gymnasium ResizeObservation hard-requires cv2)."""
+
+    def __init__(self, env, size):
+        super().__init__(env)
+        self.size = tuple(size)
+        c = env.observation_space.shape[2]
+        self.observation_space = gym.spaces.Box(
+            low=0, high=255, shape=(self.size[0], self.size[1], c), dtype=np.uint8)
+        try:
+            import cv2
+
+            self._cv2 = cv2
+        except Exception:  # pragma: no cover - cv2 is present in CI
+            self._cv2 = None
+
+    def observation(self, obs):
+        if self._cv2 is not None:
+            out = self._cv2.resize(obs, (self.size[1], self.size[0]),
+                                   interpolation=self._cv2.INTER_AREA)
+            return out.astype(np.uint8)
+        return _resize_area_numpy(obs, self.size)
+
+
+def _resize_area_numpy(obs: np.ndarray, size) -> np.ndarray:
+    """Nearest-neighbour fallback resize (no external deps)."""
+    h, w = obs.shape[:2]
+    ys = (np.linspace(0, h - 1, size[0])).astype(np.int32)
+    xs = (np.linspace(0, w - 1, size[1])).astype(np.int32)
+    return obs[ys][:, xs].astype(np.uint8)
+
+
+class ActionRepeat(gym.Wrapper):
+    """Repeat each action N times, summing rewards, early-breaking on done
+    (reference: Adaptors.py:48-68)."""
+
+    def __init__(self, env, repeat: int = 4):
+        super().__init__(env)
+        self.repeat = repeat
+
+    def step(self, action):
+        total_reward = 0.0
+        done = truncated = False
+        last_obs, last_info = None, {}
+        for _ in range(self.repeat):
+            obs, reward, d, t, info = self.env.step(action)
+            total_reward += reward
+            done = done or d
+            truncated = truncated or t
+            last_obs, last_info = obs, info
+            if done or truncated:
+                break
+        return last_obs, total_reward, done, truncated, last_info
+
+
+def make_env(env_id: str, obs_size=(64, 64), action_repeat: int = 4,
+             crop_rows: Optional[int] = 84, render_mode: Optional[str] = None,
+             max_episode_steps: Optional[int] = None) -> gym.Env:
+    """Build a pixel env with the reference wrapper stack.
+
+    ``env_id == "fake"`` returns the deterministic test env (no Box2D).
+    """
+    if env_id == "fake":
+        from dreamer_tpu.envs.fake import FakeEnv
+
+        return FakeEnv(obs_size=obs_size)
+
+    kwargs = {}
+    if env_id.startswith("CarRacing"):
+        kwargs["continuous"] = True
+    env = gym.make(env_id, render_mode=render_mode,
+                   max_episode_steps=max_episode_steps, **kwargs)
+    if crop_rows:
+        env = CropObservation(env, crop_rows)
+    env = ResizeObservation(env, obs_size)
+    if env_id.startswith("CarRacing"):
+        env = CarRacerAdaptor(env)
+    env = ActionRepeat(env, repeat=action_repeat)
+    return env

@@ -1,0 +1,62 @@
+"""Host-side vectorized env farm.
+
+The reference steps ONE env inline with training (Dreamer.py:193-226).  Here N
+envs run per host, stepped synchronously (Box2D releases the GIL poorly, so a
+simple loop ~= SyncVectorEnv; an async/process pool can slot in behind the
+same interface later).  Auto-reset semantics match the reference's manual
+loop (Dreamer.py:214-223):
+
+- the terminal observation is DISCARDED; ``step`` returns the reset obs for
+  finished envs together with ``done=True``;
+- each reset consumes the next seed from a monotonically increasing per-farm
+  counter (the reference does ``self.seed += 1`` per reset).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+
+class EnvFarm:
+    def __init__(self, env_fns: Sequence[Callable], seed: int):
+        self.envs = [fn() for fn in env_fns]
+        self.num_envs = len(self.envs)
+        self.seed = seed
+        self._action_space = self.envs[0].action_space
+
+    def reset_all(self) -> np.ndarray:
+        """Reset every env (seed, seed+1, ...) and return stacked obs (N, H, W, 3)."""
+        obs = []
+        for env in self.envs:
+            o, _ = env.reset(seed=self.seed)
+            self.seed += 1
+            obs.append(o)
+        return np.stack(obs).astype(np.uint8)
+
+    def step(self, actions: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Step all envs.  Returns (obs (N,H,W,3) uint8, reward (N,), done (N,)).
+
+        For done envs the returned obs is the RESET observation (terminal obs
+        discarded, matching Dreamer.py:214-223)."""
+        obs_out, rew_out, done_out = [], [], []
+        for env, action in zip(self.envs, actions):
+            o, r, term, trunc, _ = env.step(np.asarray(action))
+            done = bool(term or trunc)
+            if done:
+                o, _ = env.reset(seed=self.seed)
+                self.seed += 1
+            obs_out.append(o)
+            rew_out.append(r)
+            done_out.append(done)
+        return (np.stack(obs_out).astype(np.uint8),
+                np.asarray(rew_out, np.float32),
+                np.asarray(done_out, bool))
+
+    def sample_actions(self) -> np.ndarray:
+        return np.stack([self._action_space.sample() for _ in range(self.num_envs)])
+
+    def close(self):
+        for env in self.envs:
+            env.close()

@@ -1,0 +1,244 @@
+"""Dreamer orchestrator — the train/eval/run lifecycle (reference:
+Dreamer.py:13-401, SURVEY §3.1).
+
+Host responsibilities only: env stepping, buffer write scheduling, eval
+cadence, checkpointing, metrics.  All compute is in the Trainer's jitted
+programs; the per-env-step device work is ONE fused act+observe call
+(policy_act_observe) instead of the reference's two crossings per step.
+
+Lifecycle (train):
+  phase 1 — random kickstart x random_iterations: random-policy rollout +
+            WM updates (Dreamer.py:331-334)
+  phase 2 — x training_iterations: policy rollout + WM updates + AC updates,
+            checkpoint/log every 1000, eval every 500 (Dreamer.py:338-368)
+  final   — 10-episode eval (Dreamer.py:370)
+
+Rollout keeps persistent recurrent agent state ACROSS iterations (only reset
+on episode end), matching Dreamer.py:139-141,177-226.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamer_tpu.config import DreamerConfig
+from dreamer_tpu.envs import EnvFarm, make_env
+from dreamer_tpu.train import Trainer
+from dreamer_tpu.utils import CheckpointManager, MetricsLogger
+
+
+class Dreamer:
+    def __init__(self, cfg: DreamerConfig, env_factory: Optional[Callable] = None,
+                 jit: bool = True):
+        self.cfg = cfg
+        self.trainer = Trainer(cfg, jit=jit)
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.state = self.trainer.init_state(self._next_key())
+        self.buf = self.trainer.buffer.init_state()
+        self.iteration = 0
+
+        factory = env_factory or (lambda: make_env(
+            cfg.env.env_id, obs_size=cfg.wm.obs_size,
+            action_repeat=cfg.env.action_repeat, crop_rows=cfg.env.crop_rows,
+            max_episode_steps=cfg.env.max_episode_steps))
+        self._env_factory = factory
+        self.farm = EnvFarm([factory] * cfg.env.num_envs, seed=cfg.train.seed)
+        self.eval_env = factory()
+        self._eval_seed = cfg.train.seed + 10_000
+
+        # Persistent rollout state: (h, z) device, current action, current obs.
+        self._h = None
+        self._z = None
+        self._action = None   # device (N, A) — the action to apply next
+        self._obs = None      # host uint8 (N, H, W, 3) — obs BEFORE that action
+
+        self.metrics = MetricsLogger(cfg.runtime.log_dir)
+        self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir)
+
+    # ------------------------------------------------------------------ #
+
+    def _next_key(self) -> jax.Array:
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
+    # ------------------------------------------------------------------ #
+    # Rollout (Dreamer.py:177-226)
+    # ------------------------------------------------------------------ #
+
+    def rollout_policy(self, random_policy: bool = False) -> Dict[str, float]:
+        """Collect sequence_length transitions per env into the replay buffer."""
+        t = self.trainer
+        N = self.cfg.env.num_envs
+        if self._obs is None:
+            self._obs = self.farm.reset_all()
+            self._h, self._z = t.policy_reset(
+                self.state.wm.params, jnp.asarray(self._obs), self._next_key())
+            self._action = self._pick_action(random_policy)
+
+        obs_chunk, act_chunk, rew_chunk, cont_chunk = [], [], [], []
+        for _ in range(self.cfg.train.sequence_length):
+            action_np = np.asarray(self._action)
+            obs_next, reward, done = self.farm.step(action_np)
+
+            obs_chunk.append(self._obs)
+            act_chunk.append(action_np)
+            rew_chunk.append(reward)
+            cont_chunk.append(1.0 - done.astype(np.float32))
+
+            # Fused device step: posterior update (+ episode-reset rows) + next
+            # action.  For random policy the sampled action is replaced below
+            # but the state update uses the ACTUALLY APPLIED action.
+            self._h, self._z, next_action = t.policy_act_observe(
+                self.state.wm.params, self.state.ac.actor_params,
+                self._h, self._z, self._action, jnp.asarray(obs_next),
+                jnp.asarray(done), self._next_key())
+            self._action = (jnp.asarray(self.farm.sample_actions(), jnp.float32)
+                            if random_policy else next_action)
+            self._obs = obs_next
+
+        # One donated device write per rollout round: (E, T, ...) chunk.
+        self.buf = t.buffer.add_batch(
+            self.buf,
+            jnp.asarray(np.stack(obs_chunk, axis=1)),
+            jnp.asarray(np.stack(act_chunk, axis=1), jnp.float32),
+            jnp.asarray(np.stack(rew_chunk, axis=1), jnp.float32),
+            jnp.asarray(np.stack(cont_chunk, axis=1), jnp.float32),
+        )
+        return {
+            "rollout/reward_mean": float(np.mean(rew_chunk)),
+            "rollout/done_frac": float(1.0 - np.mean(cont_chunk)),
+        }
+
+    def _pick_action(self, random_policy: bool):
+        if random_policy:
+            return jnp.asarray(self.farm.sample_actions(), jnp.float32)
+        return self.trainer.policy_act(self.state.ac.actor_params, self._h, self._z,
+                                       self._next_key())
+
+    # ------------------------------------------------------------------ #
+    # Evaluation (Dreamer.py:295-322) and Run (Dreamer.py:374-401)
+    # ------------------------------------------------------------------ #
+
+    def evaluate_agent(self, eval_episodes: int, max_steps: int = 2000) -> float:
+        """Deterministic-policy episodes on the eval env; returns mean total
+        reward.  Unlike the reference (which builds and discards an autodiff
+        graph every eval step — SURVEY §3.5 note), this uses the jitted
+        inference programs."""
+        t = self.trainer
+        totals = []
+        for _ in range(eval_episodes):
+            self._eval_seed += 1
+            totals.append(self._run_episode(self.eval_env, self._eval_seed, max_steps))
+        return float(np.mean(totals))
+
+    def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:
+        t = self.trainer
+        obs, _ = env.reset(seed=seed)
+        obs = np.asarray(obs, np.uint8)[None]
+        h, z = t.policy_reset(self.state.wm.params, jnp.asarray(obs), self._next_key())
+        total = 0.0
+        for _ in range(max_steps):
+            if render:
+                env.render()
+            action = t.policy_act(self.state.ac.actor_params, h, z,
+                                  self._next_key(), deterministic=True)
+            obs_next, reward, term, trunc, _ = env.step(np.asarray(action)[0])
+            total += float(reward)
+            if term or trunc:
+                break
+            obs = np.asarray(obs_next, np.uint8)[None]
+            z, h = t.policy_observe(self.state.wm.params, z, h, action,
+                                    jnp.asarray(obs), self._next_key())
+        return total
+
+    def run(self, env=None, env_seed: int = 0, render: bool = True,
+            max_steps: int = 10_000) -> float:
+        """Single rendered episode with the deterministic policy
+        (reference Dreamer.Run)."""
+        env = env or self.eval_env
+        return self._run_episode(env, env_seed, max_steps, render=render)
+
+    # ------------------------------------------------------------------ #
+    # Checkpointing — full resume (SURVEY §5)
+    # ------------------------------------------------------------------ #
+
+    def _checkpoint_tree(self):
+        return {
+            "state": self.state,
+            "buffer": self.buf,
+            "rng": self.rng,
+            "iteration": jnp.asarray(self.iteration, jnp.int32),
+            "env_seed": jnp.asarray(self.farm.seed, jnp.int32),
+            "eval_seed": jnp.asarray(self._eval_seed, jnp.int32),
+        }
+
+    def save_checkpoint(self):
+        return self.ckpt.save(self.iteration, self._checkpoint_tree())
+
+    def restore_latest(self) -> bool:
+        """Resume from the newest checkpoint; returns True if one was found."""
+        result = self.ckpt.restore_latest(self._checkpoint_tree())
+        if result is None:
+            return False
+        _, tree = result
+        self.state = tree["state"]
+        self.buf = tree["buffer"]
+        self.rng = tree["rng"]
+        self.iteration = int(tree["iteration"])
+        self.farm.seed = int(tree["env_seed"])
+        self._eval_seed = int(tree["eval_seed"])
+        # Recurrent rollout state is not checkpointed (episode boundary is a
+        # safe reset point); force re-init on next rollout.
+        self._obs = None
+        return True
+
+    # ------------------------------------------------------------------ #
+    # Master loop (Dreamer.py:324-372)
+    # ------------------------------------------------------------------ #
+
+    def train(self, resume: bool = False, progress: bool = True):
+        cfg = self.cfg.train
+        if resume:
+            self.restore_latest()
+
+        log = print if progress else (lambda *a, **k: None)
+        log("Starting Training...")
+        if self.iteration == 0:
+            log("Starting Random Kickstart.")
+            for _ in range(cfg.random_iterations):
+                self.rollout_policy(random_policy=True)
+                if int(self.buf.size) >= cfg.sequence_length:
+                    self.state, wm_metrics = self.trainer.wm_step(
+                        self.state, self.buf, self._next_key())
+            log("Kickstart done.")
+            reward = self.evaluate_agent(cfg.eval_episodes)
+            self.metrics.log_eval(0, reward)
+            log(f"Initial eval reward: {reward:.2f}")
+
+        while self.iteration < cfg.training_iterations:
+            roll_metrics = self.rollout_policy(random_policy=False)
+            self.state, step_metrics = self.trainer.train_iteration(
+                self.state, self.buf, self._next_key())
+            self.iteration += 1
+            self.metrics.log_iteration(self.iteration, {**roll_metrics, **step_metrics})
+
+            if self.iteration % cfg.checkpoint_every == 0:
+                self.save_checkpoint()
+                self.metrics.save_npz()
+            if self.iteration % cfg.eval_every == 0:
+                reward = self.evaluate_agent(cfg.eval_episodes)
+                self.metrics.log_eval(self.iteration, reward)
+                log(f"iter {self.iteration}: eval reward {reward:.2f}, "
+                    f"wm loss {float(step_metrics['wm/loss']):.3f}")
+
+        log("Training Complete.")
+        reward = self.evaluate_agent(cfg.final_eval_episodes)
+        self.metrics.log_eval(self.iteration, reward)
+        self.save_checkpoint()
+        self.metrics.save_npz()
+        return reward

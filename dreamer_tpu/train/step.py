@@ -39,7 +39,8 @@ class Trainer:
                          use_pallas_gru=cfg.runtime.use_pallas_gru)
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
-                                   cfg.env.action_dim, cfg.wm.obs_size)
+                                   cfg.env.action_dim, cfg.wm.obs_size,
+                                   num_envs=cfg.env.num_envs)
         self.wm_opt = make_wm_optimizer(cfg)
         self.actor_opt = make_actor_optimizer(cfg)
         self.critic_opt = make_critic_optimizer(cfg)

@@ -1,0 +1,66 @@
+"""Resumable checkpointing — the full-resume path the reference lacks.
+
+The reference saves only module weights every 1000 iters (Dreamer.py:347-354);
+optimizer state, buffer contents, iteration count and RNG are lost on crash
+(SURVEY §5).  Here a checkpoint is ONE pytree containing:
+
+    {"state": DreamerState (params + optimizer states + target critic + S),
+     "buffer": ReplayState (obs/action/reward/cont rings + head/size),
+     "rng": PRNG key, "iteration": int, "env_seed": int}
+
+Saved via orbax (async-capable, tensorstore-backed — handles the multi-GB
+replay arrays) with restore into an exemplar pytree so NamedTuple/optax
+structures round-trip exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep_every: int = 1000):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step}")
+
+    def save(self, step: int, tree: Any) -> str:
+        """Write checkpoint for ``step`` (and update the 'latest' pointer)."""
+        path = self._path(step)
+        self._ckptr.save(path, tree, force=True)
+        with open(os.path.join(self.directory, "LATEST"), "w") as f:
+            f.write(str(step))
+        return path
+
+    def latest_step(self) -> Optional[int]:
+        marker = os.path.join(self.directory, "LATEST")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def restore(self, step: int, target: Any) -> Any:
+        """Restore into the structure of ``target`` (an exemplar pytree with
+        correct shapes/dtypes, e.g. a freshly-initialised state)."""
+        restored = self._ckptr.restore(self._path(step), item=target)
+        # orbax may return numpy leaves; push them back to device arrays with
+        # the exemplar's dtypes.
+        return jax.tree.map(
+            lambda exemplar, val: jax.numpy.asarray(val, dtype=getattr(exemplar, "dtype", None)),
+            target, restored)
+
+    def restore_latest(self, target: Any) -> Optional[Tuple[int, Any]]:
+        step = self.latest_step()
+        if step is None:
+            return None
+        return step, self.restore(step, target)

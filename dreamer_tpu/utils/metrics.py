@@ -1,0 +1,90 @@
+"""Metrics logging: structured per-iteration metrics out of the jitted
+updates, host-side accumulation, CSV stream + reference-compatible .npz dump.
+
+The .npz keys (world_model_loss, actor_loss, critic_loss, rewards) match the
+reference's training_logs.npz (Dreamer.py:356-364, train_car_racer.py:47-53)
+so its Results_Graphing notebook loads our logs unchanged.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str, csv_name: str = "metrics.csv"):
+        self.log_dir = os.path.abspath(log_dir)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.wm_losses: List[List[float]] = []   # per-iter list of per-epoch losses
+        self.actor_losses: List[float] = []
+        self.critic_losses: List[float] = []
+        self.eval_rewards: List[float] = []
+        self._csv_path = os.path.join(self.log_dir, csv_name)
+        self._csv_file = None
+        self._csv_writer = None
+        self._csv_fields: Optional[List[str]] = None
+        self._t0 = time.time()
+
+    # ------------------------------------------------------------------ #
+
+    def log_iteration(self, iteration: int, metrics: Dict[str, Any]):
+        """Record one training iteration's scalar metrics dict."""
+        row = {"iteration": iteration, "wall_time": time.time() - self._t0}
+        row.update({k: float(v) for k, v in metrics.items()})
+        if "wm/loss" in row:
+            self.wm_losses.append([row["wm/loss"]])
+        if "ac/loss_actor" in row:
+            self.actor_losses.append(row["ac/loss_actor"])
+        if "ac/loss_critic" in row:
+            self.critic_losses.append(row["ac/loss_critic"])
+        self._write_csv(row)
+
+    def log_eval(self, iteration: int, mean_reward: float):
+        self.eval_rewards.append(float(mean_reward))
+        self._write_csv({"iteration": iteration, "eval/mean_reward": float(mean_reward),
+                         "wall_time": time.time() - self._t0})
+
+    def _write_csv(self, row: Dict[str, Any]):
+        if self._csv_writer is None:
+            self._csv_fields = sorted(row.keys())
+            self._csv_file = open(self._csv_path, "w", newline="")
+            self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=self._csv_fields,
+                                              extrasaction="ignore", restval="")
+            self._csv_writer.writeheader()
+        extra = [k for k in row if k not in self._csv_fields]
+        if extra:
+            # Re-open with the union of fields (rare: first eval row).
+            self._csv_fields = sorted(set(self._csv_fields) | set(row.keys()))
+            self._csv_file.close()
+            old = list(csv.DictReader(open(self._csv_path)))
+            self._csv_file = open(self._csv_path, "w", newline="")
+            self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=self._csv_fields,
+                                              extrasaction="ignore", restval="")
+            self._csv_writer.writeheader()
+            for r in old:
+                self._csv_writer.writerow(r)
+        self._csv_writer.writerow(row)
+        self._csv_file.flush()
+
+    # ------------------------------------------------------------------ #
+
+    def save_npz(self, path: Optional[str] = None):
+        """Reference-compatible dump (same keys as training_logs.npz)."""
+        path = path or os.path.join(self.log_dir, "training_logs.npz")
+        np.savez(
+            path,
+            world_model_loss=np.asarray(self.wm_losses, dtype=np.float32),
+            actor_loss=np.asarray(self.actor_losses, dtype=np.float32),
+            critic_loss=np.asarray(self.critic_losses, dtype=np.float32),
+            rewards=np.asarray(self.eval_rewards, dtype=np.float32),
+        )
+        return path
+
+    def close(self):
+        if self._csv_file is not None:
+            self._csv_file.close()

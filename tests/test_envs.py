@@ -1,0 +1,97 @@
+"""Env wrapper + farm tests (reference semantics: Adaptors.py, Dreamer.py rollout)."""
+
+import numpy as np
+import pytest
+
+from dreamer_tpu.envs import (ActionRepeat, CarRacerAdaptor, CropObservation,
+                              EnvFarm, FakeEnv, make_env)
+
+
+class TestFakeEnv:
+    def test_deterministic(self):
+        e1, e2 = FakeEnv(), FakeEnv()
+        o1, _ = e1.reset(seed=7)
+        o2, _ = e2.reset(seed=7)
+        np.testing.assert_array_equal(o1, o2)
+        a = np.array([0.5, -0.3, 0.0], np.float32)
+        s1 = e1.step(a)
+        s2 = e2.step(a)
+        np.testing.assert_array_equal(s1[0], s2[0])
+        assert s1[1] == s2[1]
+
+    def test_truncates(self):
+        env = FakeEnv(episode_len=5)
+        env.reset(seed=0)
+        for i in range(5):
+            _, _, term, trunc, _ = env.step(np.zeros(3))
+        assert trunc and not term
+
+    def test_obs_space(self):
+        env = FakeEnv(obs_size=(48, 48))
+        obs, _ = env.reset(seed=0)
+        assert obs.shape == (48, 48, 3) and obs.dtype == np.uint8
+
+
+class TestAdaptors:
+    def test_car_racer_action_mapping(self):
+        # (steer, gas, brake): gas/brake mapped [-1,1] -> [0,1] (Adaptors.py:29-33)
+        wrapper = CarRacerAdaptor.__new__(CarRacerAdaptor)
+        out = CarRacerAdaptor.action(wrapper, np.array([0.5, 1.0, -1.0]))
+        np.testing.assert_allclose(out, [0.5, 1.0, 0.0])
+
+    def test_crop(self):
+        env = CropObservation.__new__(CropObservation)
+        obs = np.arange(96 * 96 * 3, dtype=np.uint8).reshape(96, 96, 3)
+        env.rows = 84
+        assert CropObservation.observation(env, obs).shape == (84, 96, 3)
+
+    def test_action_repeat_sums_rewards(self):
+        env = ActionRepeat(FakeEnv(episode_len=100), repeat=4)
+        env.reset(seed=0)
+        _, r, _, _, _ = env.step(np.zeros(3))
+        single = FakeEnv(episode_len=100)
+        single.reset(seed=0)
+        total = sum(single.step(np.zeros(3))[1] for _ in range(4))
+        assert r == pytest.approx(total)
+
+    def test_action_repeat_early_break(self):
+        env = ActionRepeat(FakeEnv(episode_len=2), repeat=4)
+        env.reset(seed=0)
+        _, _, term, trunc, _ = env.step(np.zeros(3))
+        assert trunc  # stopped at episode end inside the repeat loop
+
+    def test_make_env_fake(self):
+        env = make_env("fake", obs_size=(32, 32))
+        obs, _ = env.reset(seed=0)
+        assert obs.shape == (32, 32, 3)
+
+
+class TestEnvFarm:
+    def test_lockstep_and_autoreset(self):
+        farm = EnvFarm([lambda: FakeEnv(episode_len=3)] * 2, seed=0)
+        obs = farm.reset_all()
+        assert obs.shape == (2, 64, 64, 3)
+        seeds_before = farm.seed
+        for i in range(3):
+            obs, rew, done = farm.step(np.zeros((2, 3)))
+        assert done.all()  # both truncate at step 3
+        assert farm.seed == seeds_before + 2  # one reset seed consumed per env
+        # returned obs is the RESET obs (fresh episode), not terminal
+        obs2, _, done2 = farm.step(np.zeros((2, 3)))
+        assert not done2.any()
+
+    def test_distinct_seeds_give_distinct_obs(self):
+        farm = EnvFarm([lambda: FakeEnv()] * 3, seed=5)
+        obs = farm.reset_all()
+        assert not np.array_equal(obs[0], obs[1])
+
+
+@pytest.mark.slow
+class TestCarRacingStack:
+    def test_full_wrapper_stack(self):
+        env = make_env("CarRacing-v3")
+        obs, _ = env.reset(seed=0)
+        assert obs.shape == (64, 64, 3) and obs.dtype == np.uint8
+        obs, r, term, trunc, _ = env.step(np.array([0.0, 0.5, -1.0]))
+        assert obs.shape == (64, 64, 3)
+        env.close()

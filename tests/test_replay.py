@@ -1,5 +1,6 @@
 """Replay buffer tests: ring semantics, symlog-at-write, head-collision
-re-roll, and sampled-window contiguity (reference semantics: Buffer.py:5-63)."""
+re-roll, env-axis separation, and sampled-window contiguity (reference
+semantics: Buffer.py:5-63)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,19 +10,24 @@ from dreamer_tpu.core.math import symlog
 from dreamer_tpu.replay import ReplayBuffer
 
 
-def make_buffer(capacity=32, T=8):
-    return ReplayBuffer(capacity=capacity, sequence_length=T, action_dim=2, obs_size=(8, 8))
+def make_buffer(capacity=32, T=8, num_envs=1):
+    return ReplayBuffer(capacity=capacity, sequence_length=T, action_dim=2,
+                        obs_size=(8, 8), num_envs=num_envs)
 
 
 def add_n(buf, state, n, start_val=0):
-    """Add n transitions whose reward encodes their global index."""
-    obs = jnp.full((n, 8, 8, 3), 1, jnp.uint8) * (
-        (jnp.arange(start_val, start_val + n, dtype=jnp.int32) % 250)[:, None, None, None]
-    ).astype(jnp.uint8)
-    action = jnp.ones((n, 2), jnp.float32)
-    reward = jnp.arange(start_val, start_val + n, dtype=jnp.float32)
-    cont = jnp.ones((n,), jnp.float32)
-    return buf.add_batch(state, obs, action, reward, cont)
+    """Add n transitions per env; reward encodes env*1000 + global index."""
+    E = buf.num_envs
+    base = jnp.arange(E, dtype=jnp.float32)[:, None] * 1000.0
+    vals = base + jnp.arange(start_val, start_val + n, dtype=jnp.float32)[None, :]
+    obs = jnp.ones((E, n, 8, 8, 3), jnp.uint8)
+    action = jnp.ones((E, n, 2), jnp.float32)
+    cont = jnp.ones((E, n), jnp.float32)
+    return buf.add_batch(state, obs, action, vals, cont)
+
+
+def symexp_np(x):
+    return np.expm1(np.abs(np.asarray(x))) * np.sign(np.asarray(x))
 
 
 class TestWrite:
@@ -37,15 +43,16 @@ class TestWrite:
         buf = make_buffer()
         s = add_n(buf, buf.init_state(), 5)
         np.testing.assert_allclose(
-            np.asarray(s.reward[:5]), np.asarray(symlog(jnp.arange(5.0))), rtol=1e-6)
+            np.asarray(s.reward[0, :5]), np.asarray(symlog(jnp.arange(5.0))), rtol=1e-6)
 
     def test_ring_overwrite(self):
         buf = make_buffer()
         s = add_n(buf, buf.init_state(), 32)
         s = add_n(buf, s, 4, 100)  # overwrites slots 0..3
-        np.testing.assert_allclose(np.asarray(s.reward[:4]),
+        np.testing.assert_allclose(np.asarray(s.reward[0, :4]),
                                    np.asarray(symlog(jnp.arange(100.0, 104.0))), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(s.reward[4]), float(symlog(jnp.asarray(4.0))), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.reward[0, 4]),
+                                   float(symlog(jnp.asarray(4.0))), rtol=1e-6)
 
     def test_obs_stays_uint8(self):
         buf = make_buffer()
@@ -67,19 +74,28 @@ class TestSample:
         buf = make_buffer()
         s = add_n(buf, buf.init_state(), 20)
         _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(1), 16)
-        raw = np.expm1(np.abs(np.asarray(rew))) * np.sign(np.asarray(rew))  # symexp
-        diffs = np.diff(np.round(raw), axis=1)
+        diffs = np.diff(np.round(symexp_np(rew)), axis=1)
+        np.testing.assert_allclose(diffs, np.ones_like(diffs), atol=1e-3)
+
+    def test_multi_env_windows_never_mix_streams(self):
+        buf = make_buffer(capacity=64, T=8, num_envs=4)  # 16 slots per env
+        s = add_n(buf, buf.init_state(), 16)
+        _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(2), 32)
+        raw = np.round(symexp_np(rew))
+        env_of = raw // 1000
+        # every window stays within one env stream and is consecutive
+        assert (env_of == env_of[:, :1]).all()
+        diffs = np.diff(raw % 1000, axis=1)
         np.testing.assert_allclose(diffs, np.ones_like(diffs), atol=1e-3)
 
     def test_no_window_straddles_head_when_full(self):
         buf = make_buffer(capacity=32, T=8)
         s = add_n(buf, buf.init_state(), 32)
         s = add_n(buf, s, 5, 32)  # next_idx = 5
-        head = int(s.next_idx)
         collisions = 0
         for seed in range(200):
             _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(seed), 8)
-            raw = np.round(np.expm1(np.abs(np.asarray(rew))) * np.sign(np.asarray(rew)))
+            raw = np.round(symexp_np(rew))
             # Window straddles the head iff its raw indices are non-consecutive.
             diffs = np.diff(raw, axis=1)
             collisions += int((np.abs(diffs - 1) > 1e-3).any(axis=1).sum())
@@ -93,8 +109,7 @@ class TestSample:
         starts = []
         for seed in range(100):
             _, _, rew, _ = buf.sample(s, jax.random.PRNGKey(seed), 10)
-            raw = np.round(np.expm1(np.abs(np.asarray(rew[:, 0]))) * np.sign(np.asarray(rew[:, 0])))
-            starts.extend(raw.tolist())
+            starts.extend(np.round(symexp_np(rew[:, 0])).tolist())
         starts = np.array(starts)
         assert starts.min() >= 0 and starts.max() <= 36  # valid_starts = 40-4+1
         assert starts.std() > 5  # spread over the range

@@ -47,7 +47,7 @@ def trainer_and_state():
     act = jax.random.uniform(key, (n, 2), minval=-1, maxval=1)
     rew = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.3)
     cont = jnp.ones((n,)).at[19].set(0.0)
-    buf = trainer.buffer.add_batch(buf, obs, act, rew, cont)
+    buf = trainer.buffer.add_batch(buf, obs[None], act[None], rew[None], cont[None])
     return cfg, trainer, state, buf
 
 
