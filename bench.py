@@ -1,0 +1,94 @@
+"""Benchmark: fused learner-iteration throughput at the reference workload.
+
+Measures the flagship CarRacer-parity config (B=50 sequences x T=30 steps,
+2 world-model + 2 actor-critic gradient updates per iteration, 9M params,
+64x64x3 pixels) running as ONE compiled XLA program per iteration on the
+default device (the real TPU chip under the driver).
+
+Headline metric: grad-updates/s (BASELINE.json metric).  ``vs_baseline``
+compares against the PyTorch reference implementation executing its own
+train_world_model + train_Agent loop on this host (measured once by
+tools/measure_reference_baseline.py, cached in bench_baseline.json; the
+reference publishes no numbers of its own — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+# Persistent XLA compilation cache: the flagship program takes minutes to
+# compile over the remote-compile tunnel; cache it across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+
+def measure_ours(num_iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from dreamer_tpu.config import DreamerConfig
+    import dataclasses
+
+    cfg = DreamerConfig()
+    # Full flagship model/batch; small replay capacity (capacity does not
+    # affect update cost, and 200k obs = 2.3 GB of pointless zero-init).
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, buffer_size=4096))
+    from dreamer_tpu.train import Trainer
+
+    trainer = Trainer(cfg)
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key)
+    buf = trainer.buffer.init_state()
+    n = cfg.train.sequence_length + 14
+    obs = (jax.random.uniform(key, (1, n, 64, 64, 3)) * 255).astype(jnp.uint8)
+    buf = trainer.buffer.add_batch(
+        buf, obs,
+        jax.random.uniform(key, (1, n, 3), minval=-1, maxval=1),
+        jnp.sin(jnp.arange(n, dtype=jnp.float32))[None],
+        jnp.ones((1, n), jnp.float32))
+
+    # Warmup/compile.
+    state, m = trainer.train_iteration(state, buf, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for i in range(num_iters):
+        state, m = trainer.train_iteration(state, buf, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m)
+    elapsed = time.perf_counter() - t0
+
+    updates_per_iter = cfg.train.wm_epochs + cfg.train.ac_epochs
+    return num_iters * updates_per_iter / elapsed, elapsed / num_iters
+
+
+def get_baseline():
+    """Cached reference throughput (tools/measure_reference_baseline.py)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    return None
+
+
+def main():
+    ours, iter_seconds = measure_ours()
+    baseline = get_baseline()
+    ref = baseline["reference_grad_updates_per_s"] if baseline else None
+    vs = ours / ref if ref else 1.0
+    print(json.dumps({
+        "metric": "grad_updates_per_s",
+        "value": round(ours, 3),
+        "unit": "updates/s (B=50,T=30, 2WM+2AC per iter; iter="
+                f"{iter_seconds*1000:.0f}ms)",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Sharding plan: how the Dreamer state, replay buffer, and batches lay out
+over the (data, model) mesh.
+
+Strategy (SURVEY §2.3):
+- batch dims (replay batch B, env axis E) shard over ``data``; XLA inserts the
+  gradient psum over ICI automatically when replicated params meet sharded
+  batches under jit.
+- params replicate over ``data``.  Over ``model`` (tensor parallelism,
+  reserved for the big-VAE configs) 2-D kernels whose output column dim
+  divides the axis size shard as P(None, "model"); everything else replicates.
+- the replay rings shard their env axis over ``data`` when divisible (each
+  data shard owns its local env streams — the actor-learner layout where
+  host-local envs feed the local shard), else replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dreamer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from dreamer_tpu.replay import ReplayState
+
+
+class MeshPlan:
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.n_model = mesh.shape[MODEL_AXIS]
+
+    # ------------------------------------------------------------------ #
+    # Specs
+    # ------------------------------------------------------------------ #
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def batch_spec(self) -> NamedSharding:
+        """Leading dim (batch/env) over data."""
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def param_spec(self, param: jnp.ndarray) -> NamedSharding:
+        """Tensor-parallel spec for one param: shard the output column dim of
+        big 2-D kernels over ``model``; replicate the rest."""
+        if (self.n_model > 1 and param.ndim == 2
+                and param.shape[1] % self.n_model == 0 and param.shape[1] >= 256):
+            return NamedSharding(self.mesh, P(None, MODEL_AXIS))
+        return self.replicated()
+
+    def state_shardings(self, state: Any) -> Any:
+        """Shardings for a DreamerState-shaped pytree: params/opt get
+        param_spec, scalars replicate."""
+        return jax.tree.map(
+            lambda leaf: self.param_spec(leaf) if hasattr(leaf, "ndim") else self.replicated(),
+            state)
+
+    def buffer_shardings(self, buf: ReplayState) -> ReplayState:
+        num_envs = buf.obs.shape[0]
+        env_spec = (NamedSharding(self.mesh, P(DATA_AXIS))
+                    if num_envs % self.n_data == 0 and num_envs >= self.n_data
+                    else self.replicated())
+        return ReplayState(
+            obs=env_spec, action=env_spec, reward=env_spec, cont=env_spec,
+            next_idx=self.replicated(), size=self.replicated(),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Placement + sharded programs
+    # ------------------------------------------------------------------ #
+
+    def place_state(self, state: Any) -> Any:
+        return jax.device_put(state, self.state_shardings(state))
+
+    def place_buffer(self, buf: ReplayState) -> ReplayState:
+        return jax.device_put(buf, self.buffer_shardings(buf))
+
+    def shard_train_iteration(self, trainer, state_exemplar, buffer_exemplar):
+        """jit the Trainer's full iteration over the mesh.
+
+        Params replicate (data) / optionally shard (model); the buffer's env
+        axis shards over data; the sampled batch inherits a data-sharded
+        layout via an internal with_sharding_constraint, so per-shard grads
+        psum over ICI.
+        """
+        state_sh = self.state_shardings(state_exemplar)
+        buf_sh = self.buffer_shardings(buffer_exemplar)
+        # The trainer consults this attribute at trace time (Trainer._constrain
+        # in _wm_step/_ac_step): each sampled batch's leading dim lands on the
+        # data axis so downstream grads are shard-local and psum'd by XLA.
+        # A mesh-bound trainer keeps the constraint for its lifetime.
+        trainer.batch_constraint = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        return jax.jit(
+            trainer._train_iteration,
+            in_shardings=(state_sh, buf_sh, self.replicated()),
+            out_shardings=(state_sh, self.replicated()),
+        )

@@ -93,7 +93,10 @@ class RSSM:
         return self._apply(params, WMNets.posterior_logits, feat, h)
 
     def gru_step(self, params, z_flat, action, h):
-        return self._apply(params, WMNets.gru_step, z_flat, action, h)
+        # RSSM state convention: (h, z) are float32 at module boundaries —
+        # compute happens in the nets' dtype (bf16 on TPU), but the carried
+        # recurrent state keeps full precision (and a stable scan carry type).
+        return self._apply(params, WMNets.gru_step, z_flat, action, h).astype(jnp.float32)
 
     def prior_logits(self, params, h):
         return self._apply(params, WMNets.prior_logits, h)

@@ -44,6 +44,9 @@ class Trainer:
         self.wm_opt = make_wm_optimizer(cfg)
         self.actor_opt = make_actor_optimizer(cfg)
         self.critic_opt = make_critic_optimizer(cfg)
+        # Set by parallel.MeshPlan.shard_train_iteration: a NamedSharding that
+        # pins sampled batches' leading dim to the mesh data axis.
+        self.batch_constraint = None
 
         maybe_jit = jax.jit if jit else (lambda f, **kw: f)
         self.wm_step = maybe_jit(self._wm_step)
@@ -84,12 +87,20 @@ class Trainer:
     # Jitted training programs
     # ------------------------------------------------------------------ #
 
+    def _constrain(self, batch):
+        """Pin a sampled batch onto the mesh data axis when mesh-bound."""
+        if self.batch_constraint is None:
+            return batch
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, self.batch_constraint), batch)
+
     def _wm_step(self, state: DreamerState, buf: ReplayState, key: jax.Array
                  ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
         """WM_epochs gradient steps, each on a fresh sample (Dreamer.py:228-242)."""
         def epoch(wm_state, k):
             k_s, k_u = jax.random.split(k)
-            batch = self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size)
+            batch = self._constrain(
+                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size))
             new_state, metrics = wm_update(self.rssm, self.wm_opt, wm_state, batch, k_u, self.cfg)
             return new_state, metrics
 
@@ -103,7 +114,8 @@ class Trainer:
         """AC_epochs fused dream+update steps (Dreamer.py:264-287)."""
         def epoch(ac_state, k):
             k_s, k_u = jax.random.split(k)
-            batch = self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size)
+            batch = self._constrain(
+                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size))
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
                 self.rssm, batch, k_u)
