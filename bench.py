@@ -42,7 +42,7 @@ def measure_ours(num_iters: int = 10):
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, buffer_size=4096))
     from dreamer_tpu.train import Trainer
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, donate=True)
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key)
     buf = trainer.buffer.init_state()

@@ -120,6 +120,16 @@ class RuntimeConfig:
     log_dir: str = "./logs"
     profile: bool = False
     remat_decoder: bool = False           # jax.checkpoint the decoder to save HBM
+    # Where the rollout/eval policy runs.  "default" = same device as the
+    # learner (co-located TPU); "cpu" = host-local actor with actor/WM params
+    # broadcast device->host once per rollout round (the actor-learner split —
+    # essential when the accelerator is remote/tunneled, since each env step
+    # costs a device round-trip).
+    rollout_device: str = "default"
+    # Overlap env stepping with the learner update (one-round staleness:
+    # rollout i+1 collects under params from iteration i).  Requires
+    # rollout_device="cpu" so the actor never reads donated learner buffers.
+    async_rollout: bool = False
 
 
 @dataclass

@@ -36,7 +36,10 @@ class Dreamer:
     def __init__(self, cfg: DreamerConfig, env_factory: Optional[Callable] = None,
                  jit: bool = True):
         self.cfg = cfg
-        self.trainer = Trainer(cfg, jit=jit)
+        self.trainer = Trainer(cfg, jit=jit, donate=jit)
+        import threading
+
+        self._rng_lock = threading.Lock()
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.state = self.trainer.init_state(self._next_key())
         self.buf = self.trainer.buffer.init_state()
@@ -56,6 +59,11 @@ class Dreamer:
         self._z = None
         self._action = None   # device (N, A) — the action to apply next
         self._obs = None      # host uint8 (N, H, W, 3) — obs BEFORE that action
+        self._policy_cache = None       # (state identity, broadcast params)
+        self._rollout_key_dev = None    # CPU device when rollout_device="cpu"
+        if cfg.runtime.async_rollout and cfg.runtime.rollout_device != "cpu":
+            raise ValueError("runtime.async_rollout requires runtime.rollout_device='cpu' "
+                             "(the actor must not read donated learner buffers)")
 
         self.metrics = MetricsLogger(cfg.runtime.log_dir)
         self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir)
@@ -63,22 +71,68 @@ class Dreamer:
     # ------------------------------------------------------------------ #
 
     def _next_key(self) -> jax.Array:
-        self.rng, key = jax.random.split(self.rng)
+        # Lock: in async mode both the rollout thread and the learner draw
+        # keys from the same stream.
+        with self._rng_lock:
+            self.rng, key = jax.random.split(self.rng)
         return key
 
     # ------------------------------------------------------------------ #
     # Rollout (Dreamer.py:177-226)
     # ------------------------------------------------------------------ #
 
+    def _policy_params(self):
+        """Per-round actor weight broadcast (the north star's "actor params
+        broadcast back each rollout round").
+
+        With runtime.rollout_device="cpu" the policy runs host-local: params
+        are copied device->host once per round and every env step is a local
+        CPU program instead of an accelerator round-trip (which dominates
+        wall-clock when the chip is remote — one fused policy call per step).
+        """
+        if self._policy_cache is not None and self._policy_cache[0] is self.state:
+            return self._policy_cache[1]
+        params = (self.state.wm.params, self.state.ac.actor_params)
+        if self.cfg.runtime.rollout_device == "cpu":
+            cpu = jax.devices("cpu")[0]
+            if any(cpu in leaf.devices() for leaf in jax.tree.leaves(params)[:1]):
+                # Learner already lives on this CPU device (CPU test platform):
+                # device_put would alias the learner buffers, which are later
+                # DONATED by train_iteration — force a real copy.
+                params = jax.tree.map(jnp.copy, params)
+            else:
+                params = jax.device_put(params, cpu)
+            if self._rollout_key_dev is None:
+                self._rollout_key_dev = cpu
+        self._policy_cache = (self.state, params)
+        return params
+
+    def _rollout_key(self) -> jax.Array:
+        key = self._next_key()
+        if self._rollout_key_dev is not None:
+            key = jax.device_put(key, self._rollout_key_dev)
+        return key
+
     def rollout_policy(self, random_policy: bool = False) -> Dict[str, float]:
         """Collect sequence_length transitions per env into the replay buffer."""
+        wm_p, actor_p = self._policy_params()
+        chunks, metrics = self._collect_chunk(random_policy, wm_p, actor_p)
+        self._write_chunk(chunks)
+        return metrics
+
+    def _collect_chunk(self, random_policy, wm_params, actor_params):
+        """Step the env farm for one round; returns host-side chunk arrays.
+        Does NOT touch the replay buffer (async mode writes after the learner
+        step so donated buffers are never read concurrently)."""
         t = self.trainer
-        N = self.cfg.env.num_envs
         if self._obs is None:
             self._obs = self.farm.reset_all()
             self._h, self._z = t.policy_reset(
-                self.state.wm.params, jnp.asarray(self._obs), self._next_key())
-            self._action = self._pick_action(random_policy)
+                wm_params, jnp.asarray(self._obs), self._rollout_key())
+            self._action = (jnp.asarray(self.farm.sample_actions(), jnp.float32)
+                            if random_policy else
+                            t.policy_act(actor_params, self._h, self._z,
+                                         self._rollout_key()))
 
         obs_chunk, act_chunk, rew_chunk, cont_chunk = [], [], [], []
         for _ in range(self.cfg.train.sequence_length):
@@ -94,31 +148,31 @@ class Dreamer:
             # action.  For random policy the sampled action is replaced below
             # but the state update uses the ACTUALLY APPLIED action.
             self._h, self._z, next_action = t.policy_act_observe(
-                self.state.wm.params, self.state.ac.actor_params,
+                wm_params, actor_params,
                 self._h, self._z, self._action, jnp.asarray(obs_next),
-                jnp.asarray(done), self._next_key())
+                jnp.asarray(done), self._rollout_key())
             self._action = (jnp.asarray(self.farm.sample_actions(), jnp.float32)
                             if random_policy else next_action)
             self._obs = obs_next
 
-        # One donated device write per rollout round: (E, T, ...) chunk.
-        self.buf = t.buffer.add_batch(
-            self.buf,
-            jnp.asarray(np.stack(obs_chunk, axis=1)),
-            jnp.asarray(np.stack(act_chunk, axis=1), jnp.float32),
-            jnp.asarray(np.stack(rew_chunk, axis=1), jnp.float32),
-            jnp.asarray(np.stack(cont_chunk, axis=1), jnp.float32),
-        )
-        return {
+        chunks = (np.stack(obs_chunk, axis=1), np.stack(act_chunk, axis=1),
+                  np.stack(rew_chunk, axis=1), np.stack(cont_chunk, axis=1))
+        metrics = {
             "rollout/reward_mean": float(np.mean(rew_chunk)),
             "rollout/done_frac": float(1.0 - np.mean(cont_chunk)),
         }
+        return chunks, metrics
 
-    def _pick_action(self, random_policy: bool):
-        if random_policy:
-            return jnp.asarray(self.farm.sample_actions(), jnp.float32)
-        return self.trainer.policy_act(self.state.ac.actor_params, self._h, self._z,
-                                       self._next_key())
+    def _write_chunk(self, chunks):
+        """One donated device write per rollout round: (E, T, ...) chunk."""
+        obs, act, rew, cont = chunks
+        self.buf = self.trainer.buffer.add_batch(
+            self.buf,
+            jnp.asarray(obs),
+            jnp.asarray(act, jnp.float32),
+            jnp.asarray(rew, jnp.float32),
+            jnp.asarray(cont, jnp.float32),
+        )
 
     # ------------------------------------------------------------------ #
     # Evaluation (Dreamer.py:295-322) and Run (Dreamer.py:374-401)
@@ -138,22 +192,23 @@ class Dreamer:
 
     def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:
         t = self.trainer
+        wm_p, actor_p = self._policy_params()
         obs, _ = env.reset(seed=seed)
         obs = np.asarray(obs, np.uint8)[None]
-        h, z = t.policy_reset(self.state.wm.params, jnp.asarray(obs), self._next_key())
+        h, z = t.policy_reset(wm_p, jnp.asarray(obs), self._rollout_key())
         total = 0.0
         for _ in range(max_steps):
             if render:
                 env.render()
-            action = t.policy_act(self.state.ac.actor_params, h, z,
-                                  self._next_key(), deterministic=True)
+            action = t.policy_act(actor_p, h, z,
+                                  self._rollout_key(), deterministic=True)
             obs_next, reward, term, trunc, _ = env.step(np.asarray(action)[0])
             total += float(reward)
             if term or trunc:
                 break
             obs = np.asarray(obs_next, np.uint8)[None]
-            z, h = t.policy_observe(self.state.wm.params, z, h, action,
-                                    jnp.asarray(obs), self._next_key())
+            z, h = t.policy_observe(wm_p, z, h, action,
+                                    jnp.asarray(obs), self._rollout_key())
         return total
 
     def run(self, env=None, env_seed: int = 0, render: bool = True,
@@ -179,6 +234,34 @@ class Dreamer:
 
     def save_checkpoint(self):
         return self.ckpt.save(self.iteration, self._checkpoint_tree())
+
+    def save_agent(self, path: str):
+        """Weights-only export (the reference's save_trained_Dreamer /
+        agent.pth, Dreamer.py:292-293): all module params, no optimizer or
+        replay state."""
+        self.ckpt._ckptr.save(os.path.abspath(path), self._agent_params_tree(),
+                              force=True)
+
+    def load_agent(self, path: str):
+        """Weights-only import (the reference's load_pretrained_dreamer,
+        Dreamer.py:289-290)."""
+        tree = self.ckpt._ckptr.restore(os.path.abspath(path),
+                                        item=self._agent_params_tree())
+        self.state = self.state._replace(
+            wm=self.state.wm._replace(params=tree["wm"]),
+            ac=self.state.ac._replace(
+                actor_params=tree["actor"],
+                critic_params=tree["critic"],
+                target_critic_params=tree["target_critic"],
+            ))
+
+    def _agent_params_tree(self):
+        return {
+            "wm": self.state.wm.params,
+            "actor": self.state.ac.actor_params,
+            "critic": self.state.ac.critic_params,
+            "target_critic": self.state.ac.target_critic_params,
+        }
 
     def restore_latest(self) -> bool:
         """Resume from the newest checkpoint; returns True if one was found."""
@@ -220,10 +303,37 @@ class Dreamer:
             self.metrics.log_eval(0, reward)
             log(f"Initial eval reward: {reward:.2f}")
 
+        executor = None
+        if self.cfg.runtime.async_rollout:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(max_workers=1)
+
+        profiling = False
         while self.iteration < cfg.training_iterations:
-            roll_metrics = self.rollout_policy(random_policy=False)
-            self.state, step_metrics = self.trainer.train_iteration(
-                self.state, self.buf, self._next_key())
+            # Optional jax.profiler window over iterations 5..10 (SURVEY §5
+            # tracing subsystem; the reference has none).
+            if self.cfg.runtime.profile and self.iteration == 5 and not profiling:
+                jax.profiler.start_trace(os.path.join(self.cfg.runtime.log_dir, "profile"))
+                profiling = True
+            if profiling and self.iteration >= 10:
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if executor is not None:
+                # Actor-learner overlap: the host-local (CPU) actor collects
+                # the next round while the TPU learner updates on data through
+                # the previous round — one-round staleness, per the north star.
+                wm_p, actor_p = self._policy_params()
+                future = executor.submit(self._collect_chunk, False, wm_p, actor_p)
+                self.state, step_metrics = self.trainer.train_iteration(
+                    self.state, self.buf, self._next_key())
+                chunks, roll_metrics = future.result()
+                self._write_chunk(chunks)
+            else:
+                roll_metrics = self.rollout_policy(random_policy=False)
+                self.state, step_metrics = self.trainer.train_iteration(
+                    self.state, self.buf, self._next_key())
             self.iteration += 1
             self.metrics.log_iteration(self.iteration, {**roll_metrics, **step_metrics})
 

@@ -32,7 +32,7 @@ from dreamer_tpu.train.world_model import make_wm_optimizer, wm_update
 
 
 class Trainer:
-    def __init__(self, cfg: DreamerConfig, jit: bool = True):
+    def __init__(self, cfg: DreamerConfig, jit: bool = True, donate: bool = False):
         self.cfg = cfg
         dtype = jnp.dtype(cfg.runtime.compute_dtype)
         self.rssm = RSSM(cfg.wm, action_dim=cfg.env.action_dim, dtype=dtype,
@@ -49,9 +49,14 @@ class Trainer:
         self.batch_constraint = None
 
         maybe_jit = jax.jit if jit else (lambda f, **kw: f)
-        self.wm_step = maybe_jit(self._wm_step)
-        self.ac_step = maybe_jit(self._ac_step)
-        self.train_iteration = maybe_jit(self._train_iteration)
+        # With donate=True training states are updated in place (the caller
+        # must always replace its state with the returned one, as the
+        # orchestrator does); tests keep donate=False so they can compare
+        # old-vs-new states.
+        dn = {"donate_argnums": (0,)} if (jit and donate) else {}
+        self.wm_step = maybe_jit(self._wm_step, **dn)
+        self.ac_step = maybe_jit(self._ac_step, **dn)
+        self.train_iteration = maybe_jit(self._train_iteration, **dn)
         self.policy_act = maybe_jit(self._policy_act, static_argnames=("deterministic",))
         self.policy_observe = maybe_jit(self._policy_observe)
         self.policy_reset = maybe_jit(self._policy_reset)

@@ -1,0 +1,57 @@
+"""Tests for aux tooling: results plotting, weights-only export/import,
+distributed init helper."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_orchestrator import smoke_cfg
+
+
+class TestPlotResults:
+    def test_plot_curves_from_npz(self, tmp_path):
+        from tools.plot_results import plot_curves
+
+        npz = tmp_path / "training_logs.npz"
+        np.savez(npz,
+                 world_model_loss=np.random.rand(20, 2).astype(np.float32),
+                 actor_loss=np.random.rand(20).astype(np.float32),
+                 critic_loss=np.random.rand(20).astype(np.float32),
+                 rewards=np.random.rand(5).astype(np.float32))
+        out = tmp_path / "curves.png"
+        plot_curves(str(npz), str(out))
+        assert out.exists() and out.stat().st_size > 1000
+
+
+class TestAgentExport:
+    def test_save_load_agent_roundtrip(self, tmp_path):
+        from dreamer_tpu.orchestrator import Dreamer
+
+        d = Dreamer(smoke_cfg(tmp_path))
+        path = str(tmp_path / "agent_export")
+        d.save_agent(path)
+
+        d2 = Dreamer(smoke_cfg(tmp_path))
+        # different init -> params differ before load
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            d.state.ac.critic_params, d2.state.ac.critic_params)
+        # (same seed config gives same init, so force a perturbation)
+        d2.state = d2.state._replace(ac=d2.state.ac._replace(
+            critic_params=jax.tree.map(lambda x: x + 1.0, d2.state.ac.critic_params)))
+        d2.load_agent(path)
+        same = jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)),
+                            d.state.ac.critic_params, d2.state.ac.critic_params)
+        assert all(jax.tree.leaves(same))
+        same_wm = jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)),
+                               d.state.wm.params, d2.state.wm.params)
+        assert all(jax.tree.leaves(same_wm))
+
+
+class TestDistributed:
+    def test_single_process_noop(self):
+        from dreamer_tpu.parallel.distributed import init_distributed, is_primary
+
+        assert init_distributed() is False  # no coordinator configured
+        assert is_primary()

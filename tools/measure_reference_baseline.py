@@ -48,29 +48,47 @@ def main():
             rs.uniform(-1, 1, 3).astype(np.float32),
             float(np.sin(i)), 1.0)
 
-    # Warmup one WM epoch pair so lazy init doesn't pollute timing.
-    agent.train_world_model()
+    # Incremental measurement: time each phase call and write the cache after
+    # every sample, so a timeout still leaves a valid (partial) baseline.
+    # (On CPU the reference's fp16 autocast makes one WM epoch pair take
+    # ~20 min, so full iterations may never finish inside a CI budget.)
+    wm_times, ac_times = [], []
 
-    t0 = time.perf_counter()
-    iters = 0
-    while iters < args.iters and time.perf_counter() - t0 < args.max_seconds:
+    def flush():
+        # Each train_world_model()/train_Agent() call runs WM_epochs/AC_epochs
+        # gradient updates respectively.
+        per_update = []
+        if wm_times:
+            per_update.append(min(wm_times) / config["WM_epochs"])
+        if ac_times:
+            per_update.append(min(ac_times) / config["AC_epochs"])
+        if not per_update:
+            return
+        avg_update = sum(per_update) / len(per_update)
+        payload = {
+            "reference_grad_updates_per_s": 1.0 / avg_update,
+            "device": str(device),
+            "wm_call_seconds": wm_times,
+            "ac_call_seconds": ac_times,
+            "note": "PyTorch reference (youngers2006/Dreamer) WM/AC update "
+                    "timings at B=50 T=30 (car_racer_config.yaml), this host",
+        }
+        with open(CACHE, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload), flush=True)
+
+    t_start = time.perf_counter()
+    for i in range(args.iters + 1):  # first sample doubles as warmup
+        t0 = time.perf_counter()
         agent.train_world_model()
+        wm_times.append(time.perf_counter() - t0)
+        flush()
+        t0 = time.perf_counter()
         agent.train_Agent()
-        iters += 1
-        print(f"iter {iters}: {time.perf_counter() - t0:.1f}s elapsed")
-    elapsed = time.perf_counter() - t0
-    updates = iters * (config["WM_epochs"] + config["AC_epochs"])
-    ups = updates / elapsed
-    payload = {
-        "reference_grad_updates_per_s": ups,
-        "device": str(device),
-        "iters_measured": iters,
-        "note": "PyTorch reference (youngers2006/Dreamer) 2 WM + 2 AC epochs "
-                "at B=50 T=30 (car_racer_config.yaml), measured on this host",
-    }
-    with open(CACHE, "w") as f:
-        json.dump(payload, f, indent=1)
-    print(json.dumps(payload))
+        ac_times.append(time.perf_counter() - t0)
+        flush()
+        if time.perf_counter() - t_start > args.max_seconds:
+            break
 
 
 if __name__ == "__main__":
