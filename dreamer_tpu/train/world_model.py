@@ -44,27 +44,21 @@ def make_wm_optimizer(cfg: DreamerConfig) -> optax.GradientTransformation:
     )
 
 
-def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
-            rewards: jnp.ndarray, conts: jnp.ndarray, key: jax.Array,
-            cfg: DreamerConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total WM loss + metrics on one sampled batch.
+def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
+                  dec_mu: jnp.ndarray, rew_logits: jnp.ndarray,
+                  cont_logits: jnp.ndarray, obs: jnp.ndarray,
+                  rewards: jnp.ndarray, conts: jnp.ndarray,
+                  buckets: jnp.ndarray, cfg: DreamerConfig
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Pure loss combination from precomputed head outputs — the exact
+    formulas of WorldModel.py:109-189, independently unit-testable against a
+    torch port of the reference math (tests/test_loss_parity.py).
 
-    obs_u8: (B, T, H, W, 3) uint8; actions (B, T, A); rewards (B, T) symlog;
-    conts (B, T).  Only the first ``horizon`` steps are used
-    (WorldModel.py:156-160).
+    Shapes: post/prior logits (B, H, R, C); dec_mu, obs (B, H, h, w, 3);
+    rew_logits (B, H-1, K); cont_logits (B, H-1); rewards/conts (B, H).
     """
     w = cfg.wm
     H = cfg.train.horizon
-    obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
-    obs, actions = obs[:, :H], actions[:, :H]
-    rewards, conts = rewards[:, :H], conts[:, :H]
-
-    seq = rssm.observe_sequence(params, obs, actions, key)
-
-    prior_logits = rssm.prior_logits(params, seq.h)          # (B, H, R, C)
-    dec_mu = rssm.decode(params, seq.h, seq.z)               # (B, H, h, w, 3)
-    rew_logits = rssm.reward_logits(params, seq.h[:, 1:], seq.z[:, 1:])
-    cont_logits = rssm.cont_logit(params, seq.h[:, 1:], seq.z[:, 1:]).squeeze(-1)
 
     # --- likelihoods (all f32) -------------------------------------- #
     obs_sse = jnp.sum(jnp.square(dec_mu.astype(jnp.float32) - obs),
@@ -72,7 +66,7 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     obs_log_lh = -obs_sse[:, 1:]                             # steps 1..H-1
 
     rew_targets = rewards[:, : H - 1]                        # symlog already
-    rew_th = twohot(rew_targets, rssm.buckets)               # (B, H-1, K)
+    rew_th = twohot(rew_targets, buckets)                    # (B, H-1, K)
     rew_logp = jax.nn.log_softmax(rew_logits.astype(jnp.float32), axis=-1)
     rew_log_lh = jnp.sum(rew_th * rew_logp, axis=-1)         # (B, H-1)
 
@@ -90,7 +84,7 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     loss_pred = (-jnp.sum(obs_log_lh) - jnp.sum(rew_log_lh) + jnp.sum(cont_nll)) / denom
 
     # --- KL balancing on steps 1..H-1 ------------------------------- #
-    post = seq.post_logits[:, 1:]
+    post = post_logits[:, 1:]
     prior = prior_logits[:, 1:]
     kl_dyn = categorical_kl(jax.lax.stop_gradient(post), prior).sum(-1)   # (B, H-1)
     kl_rep = categorical_kl(post, jax.lax.stop_gradient(prior)).sum(-1)
@@ -110,6 +104,31 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
         "wm/cont_ce": jnp.sum(cont_nll) / denom,
     }
     return total, metrics
+
+
+def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
+            rewards: jnp.ndarray, conts: jnp.ndarray, key: jax.Array,
+            cfg: DreamerConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total WM loss + metrics on one sampled batch.
+
+    obs_u8: (B, T, H, W, 3) uint8; actions (B, T, A); rewards (B, T) symlog;
+    conts (B, T).  Only the first ``horizon`` steps are used
+    (WorldModel.py:156-160).
+    """
+    H = cfg.train.horizon
+    obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
+    obs, actions = obs[:, :H], actions[:, :H]
+    rewards, conts = rewards[:, :H], conts[:, :H]
+
+    seq = rssm.observe_sequence(params, obs, actions, key)
+
+    prior_logits = rssm.prior_logits(params, seq.h)          # (B, H, R, C)
+    dec_mu = rssm.decode(params, seq.h, seq.z)               # (B, H, h, w, 3)
+    rew_logits = rssm.reward_logits(params, seq.h[:, 1:], seq.z[:, 1:])
+    cont_logits = rssm.cont_logit(params, seq.h[:, 1:], seq.z[:, 1:]).squeeze(-1)
+
+    return wm_loss_terms(seq.post_logits, prior_logits, dec_mu, rew_logits,
+                         cont_logits, obs, rewards, conts, rssm.buckets, cfg)
 
 
 def wm_update(rssm: RSSM, optimizer: optax.GradientTransformation,
