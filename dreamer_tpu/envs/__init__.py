@@ -1,5 +1,5 @@
 from dreamer_tpu.envs.adaptors import (ActionRepeat, CarRacerAdaptor, CropObservation,
-                                       DroneAdaptor, make_env)
+                                       DroneAdaptor, PixelObservation, make_env)
 from dreamer_tpu.envs.fake import FakeEnv
 from dreamer_tpu.envs.vector import EnvFarm
 
@@ -9,6 +9,7 @@ __all__ = [
     "CropObservation",
     "DroneAdaptor",
     "make_env",
+    "PixelObservation",
     "FakeEnv",
     "EnvFarm",
 ]

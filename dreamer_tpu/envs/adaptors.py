@@ -91,6 +91,28 @@ def _resize_area_numpy(obs: np.ndarray, size) -> np.ndarray:
     return obs[ys][:, xs].astype(np.uint8)
 
 
+class PixelObservation(gym.ObservationWrapper):
+    """Replace a state-vector observation with the rendered frame, for
+    learning state-based Box2D envs (LunarLander, BipedalWalker) from pixels
+    (BASELINE configs 2 and 4).  Requires the env to be constructed with
+    ``render_mode="rgb_array"``."""
+
+    def __init__(self, env):
+        super().__init__(env)
+        frame = self._frame_shape(env)
+        self.observation_space = gym.spaces.Box(low=0, high=255, shape=frame,
+                                                dtype=np.uint8)
+
+    @staticmethod
+    def _frame_shape(env):
+        env.reset(seed=0)
+        frame = env.render()
+        return np.asarray(frame).shape
+
+    def observation(self, obs):
+        return np.asarray(self.env.render(), dtype=np.uint8)
+
+
 class ActionRepeat(gym.Wrapper):
     """Repeat each action N times, summing rewards, early-breaking on done
     (reference: Adaptors.py:48-68)."""
@@ -126,11 +148,35 @@ def make_env(env_id: str, obs_size=(64, 64), action_repeat: int = 4,
 
         return FakeEnv(obs_size=obs_size)
 
+    if env_id.startswith("PyFlyt"):
+        # Drone stretch goal (README.md:7 of the reference): optional dep.
+        try:
+            import PyFlyt.gym_envs  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "PyFlyt is not installed; the drone configs need the optional "
+                "PyFlyt dependency (pip install PyFlyt)") from e
+        env = gym.make(env_id, render_mode=render_mode or "rgb_array")
+        env = PixelObservation(env)
+        env = ResizeObservation(env, obs_size)
+        env = DroneAdaptor(env)
+        return ActionRepeat(env, repeat=action_repeat)
+
     kwargs = {}
+    # State-vector Box2D envs learned FROM PIXELS (BASELINE configs 2/4):
+    # render to rgb_array and substitute the frame for the state observation.
+    pixels_from_render = env_id.startswith(("LunarLander", "BipedalWalker"))
     if env_id.startswith("CarRacing"):
         kwargs["continuous"] = True
+    if env_id.startswith("LunarLander"):
+        kwargs["continuous"] = True
+    if pixels_from_render and render_mode is None:
+        render_mode = "rgb_array"
     env = gym.make(env_id, render_mode=render_mode,
                    max_episode_steps=max_episode_steps, **kwargs)
+    if pixels_from_render:
+        env = PixelObservation(env)
+        crop_rows = None  # no dashboard to crop on rendered frames
     if crop_rows:
         env = CropObservation(env, crop_rows)
     env = ResizeObservation(env, obs_size)

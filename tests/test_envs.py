@@ -95,3 +95,25 @@ class TestCarRacingStack:
         obs, r, term, trunc, _ = env.step(np.array([0.0, 0.5, -1.0]))
         assert obs.shape == (64, 64, 3)
         env.close()
+
+
+class TestPixelObservation:
+    def test_lunar_lander_pixels(self):
+        env = make_env("LunarLander-v3", obs_size=(64, 64), action_repeat=2,
+                       crop_rows=None)
+        obs, _ = env.reset(seed=0)
+        assert obs.shape == (64, 64, 3) and obs.dtype == np.uint8
+        obs, r, term, trunc, _ = env.step(np.array([0.0, 0.0]))
+        assert obs.shape == (64, 64, 3)
+        env.close()
+
+    def test_bipedal_walker_pixels(self):
+        env = make_env("BipedalWalker-v3", obs_size=(64, 64), action_repeat=2,
+                       crop_rows=None)
+        obs, _ = env.reset(seed=0)
+        assert obs.shape == (64, 64, 3) and obs.dtype == np.uint8
+        env.close()
+
+    def test_pyflyt_missing_gives_clear_error(self):
+        with pytest.raises(ImportError, match="PyFlyt"):
+            make_env("PyFlyt/QuadX-Waypoints-v4")
