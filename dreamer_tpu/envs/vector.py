@@ -24,6 +24,10 @@ class EnvFarm:
         self.envs = [fn() for fn in env_fns]
         self.num_envs = len(self.envs)
         self.seed = seed
+        # Seed the action spaces so random-policy rollouts are reproducible
+        # (the reference samples from an unseeded space, Dreamer.py:195).
+        for i, env in enumerate(self.envs):
+            env.action_space.seed(seed + i)
         self._action_space = self.envs[0].action_space
 
     def reset_all(self) -> np.ndarray:

@@ -52,6 +52,7 @@ class Dreamer:
         self._env_factory = factory
         self.farm = EnvFarm([factory] * cfg.env.num_envs, seed=cfg.train.seed)
         self.eval_env = factory()
+        self._eval_farm = None
         self._eval_seed = cfg.train.seed + 10_000
 
         # Persistent rollout state: (h, z) device, current action, current obs.
@@ -178,16 +179,54 @@ class Dreamer:
     # Evaluation (Dreamer.py:295-322) and Run (Dreamer.py:374-401)
     # ------------------------------------------------------------------ #
 
-    def evaluate_agent(self, eval_episodes: int, max_steps: int = 2000) -> float:
+    def evaluate_agent(self, eval_episodes: int, max_steps: int = 2000,
+                       batched: bool = True) -> float:
         """Deterministic-policy episodes on the eval env; returns mean total
         reward.  Unlike the reference (which builds and discards an autodiff
         graph every eval step — SURVEY §3.5 note), this uses the jitted
-        inference programs."""
+        inference programs; by default all episodes run BATCHED over an eval
+        farm, so each step is one policy call for every episode at once."""
+        if not batched:
+            totals = []
+            for _ in range(eval_episodes):
+                self._eval_seed += 1
+                totals.append(self._run_episode(self.eval_env, self._eval_seed, max_steps))
+            return float(np.mean(totals))
+        return self._evaluate_batched(eval_episodes, max_steps)
+
+    def _evaluate_batched(self, eval_episodes: int, max_steps: int) -> float:
         t = self.trainer
-        totals = []
-        for _ in range(eval_episodes):
-            self._eval_seed += 1
-            totals.append(self._run_episode(self.eval_env, self._eval_seed, max_steps))
+        wm_p, actor_p = self._policy_params()
+        if self._eval_farm is None or self._eval_farm.num_envs != eval_episodes:
+            self._eval_farm = EnvFarm([self._env_factory] * eval_episodes,
+                                      seed=self._eval_seed)
+        farm = self._eval_farm
+        farm.seed = self._eval_seed
+        obs = farm.reset_all()
+        self._eval_seed += eval_episodes
+        h, z = t.policy_reset(wm_p, jnp.asarray(obs), self._rollout_key())
+        totals = np.zeros(eval_episodes)
+        alive = np.ones(eval_episodes, bool)
+        for _ in range(max_steps):
+            action = t.policy_act(actor_p, h, z, self._rollout_key(),
+                                  deterministic=True)
+            action_np = np.asarray(action)
+            obs_list, rew = [], np.zeros(eval_episodes, np.float32)
+            for i, env in enumerate(farm.envs):
+                if not alive[i]:
+                    obs_list.append(obs[i])
+                    continue
+                o, r, term, trunc, _ = env.step(action_np[i])
+                rew[i] = r
+                if term or trunc:
+                    alive[i] = False
+                obs_list.append(np.asarray(o, np.uint8))
+            totals += rew
+            if not alive.any():
+                break
+            obs = np.stack(obs_list)
+            z, h = t.policy_observe(wm_p, z, h, action, jnp.asarray(obs),
+                                    self._rollout_key())
         return float(np.mean(totals))
 
     def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:

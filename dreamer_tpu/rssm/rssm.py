@@ -58,11 +58,18 @@ class RSSM:
     pure functions over an explicit params pytree."""
 
     def __init__(self, cfg: WorldModelConfig, action_dim: int = 3,
-                 dtype: Any = jnp.float32, use_pallas_gru: bool = False):
+                 dtype: Any = jnp.float32, use_pallas_gru: bool = False,
+                 remat: bool = False):
         self.cfg = cfg
         self.action_dim = action_dim
         self.nets = WMNets(cfg, dtype=dtype, use_pallas_gru=use_pallas_gru)
         self.buckets = bucket_values(cfg.reward_buckets)
+        if remat:
+            # The learner is HBM-bandwidth-bound (~70% of bw at 12x compute
+            # headroom, see bench roofline): recompute the conv tower
+            # activations in the backward pass instead of storing them.
+            self.decode = jax.checkpoint(self.decode)
+            self.encode_obs = jax.checkpoint(self.encode_obs)
 
     # ------------------------------------------------------------------ #
     # Init

@@ -36,7 +36,8 @@ class Trainer:
         self.cfg = cfg
         dtype = jnp.dtype(cfg.runtime.compute_dtype)
         self.rssm = RSSM(cfg.wm, action_dim=cfg.env.action_dim, dtype=dtype,
-                         use_pallas_gru=cfg.runtime.use_pallas_gru)
+                         use_pallas_gru=cfg.runtime.use_pallas_gru,
+                         remat=cfg.runtime.remat_decoder)
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
                                    cfg.env.action_dim, cfg.wm.obs_size,

@@ -84,3 +84,31 @@ class TestCheckpoint:
     def test_restore_without_checkpoint_returns_false(self, tmp_path):
         d = Dreamer(smoke_cfg(tmp_path))
         assert not d.restore_latest()
+
+
+class TestBatchedEval:
+    def test_batched_matches_sequential_episode_count(self, tmp_path):
+        d = Dreamer(smoke_cfg(tmp_path))
+        r_batched = d.evaluate_agent(3, max_steps=25, batched=True)
+        assert np.isfinite(r_batched)
+        r_seq = d.evaluate_agent(2, max_steps=25, batched=False)
+        assert np.isfinite(r_seq)
+
+    def test_batched_eval_respects_episode_end(self, tmp_path):
+        # fake env truncates at episode_len=100; max_steps larger is fine
+        d = Dreamer(smoke_cfg(tmp_path))
+        r = d.evaluate_agent(2, max_steps=300, batched=True)
+        assert np.isfinite(r)
+
+
+class TestDeterminism:
+    def test_same_seed_same_metrics(self, tmp_path):
+        cfg1 = smoke_cfg(tmp_path / "a")
+        cfg2 = smoke_cfg(tmp_path / "b")
+        d1, d2 = Dreamer(cfg1), Dreamer(cfg2)
+        d1.rollout_policy(random_policy=True)
+        d2.rollout_policy(random_policy=True)
+        s1, m1 = d1.trainer.train_iteration(d1.state, d1.buf, jax.random.PRNGKey(3))
+        s2, m2 = d2.trainer.train_iteration(d2.state, d2.buf, jax.random.PRNGKey(3))
+        assert float(m1["wm/loss"]) == float(m2["wm/loss"])
+        assert float(m1["ac/loss_actor"]) == float(m2["ac/loss_actor"])
