@@ -29,7 +29,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
-def measure_ours(num_iters: int = 10):
+def measure_ours(num_iters: int = 10, use_pallas: bool = False,
+                 remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +40,11 @@ def measure_ours(num_iters: int = 10):
     cfg = DreamerConfig()
     # Full flagship model/batch; small replay capacity (capacity does not
     # affect update cost, and 200k obs = 2.3 GB of pointless zero-init).
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, buffer_size=4096))
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, buffer_size=4096),
+        runtime=dataclasses.replace(cfg.runtime, use_pallas_gru=use_pallas,
+                                    remat_decoder=remat))
     from dreamer_tpu.train import Trainer
 
     trainer = Trainer(cfg, donate=True)
@@ -77,7 +82,18 @@ def get_baseline():
 
 
 def main():
-    ours, iter_seconds = measure_ours()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas GRU cell")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize conv towers in backward")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    ours, iter_seconds = measure_ours(args.iters, use_pallas=args.pallas,
+                                      remat=args.remat)
     baseline = get_baseline()
     ref = baseline["reference_grad_updates_per_s"] if baseline else None
     vs = ours / ref if ref else 1.0

@@ -55,6 +55,30 @@ class Dreamer:
         self._eval_farm = None
         self._eval_seed = cfg.train.seed + 10_000
 
+        # Optional multi-device mesh (runtime.mesh_shape = [n_data, n_model]):
+        # state/buffer are placed with the MeshPlan shardings and the learner
+        # programs run sharded (gradient psum over ICI).  Call
+        # parallel.distributed.init_distributed() first for multi-host.
+        self._plan = None
+        self._sharded_iteration = None
+        self._sharded_wm_step = None
+        if cfg.runtime.mesh_shape:
+            from dreamer_tpu.parallel import MeshPlan, make_mesh
+
+            mesh = make_mesh(cfg.runtime.mesh_shape[0], cfg.runtime.mesh_shape[1])
+            self._plan = MeshPlan(mesh)
+            self.state = self._plan.place_state(self.state)
+            self.buf = self._plan.place_buffer(self.buf)
+            self._sharded_iteration = self._plan.shard_train_iteration(
+                self.trainer, self.state, self.buf)
+            self._sharded_wm_step = jax.jit(
+                self.trainer._wm_step,
+                in_shardings=(self._plan.state_shardings(self.state),
+                              self._plan.buffer_shardings(self.buf),
+                              self._plan.replicated()),
+                out_shardings=(self._plan.state_shardings(self.state),
+                               self._plan.replicated()))
+
         # Persistent rollout state: (h, z) device, current action, current obs.
         self._h = None
         self._z = None
@@ -332,10 +356,11 @@ class Dreamer:
         log("Starting Training...")
         if self.iteration == 0:
             log("Starting Random Kickstart.")
+            wm_step = self._sharded_wm_step or self.trainer.wm_step
             for _ in range(cfg.random_iterations):
                 self.rollout_policy(random_policy=True)
                 if int(self.buf.size) >= cfg.sequence_length:
-                    self.state, wm_metrics = self.trainer.wm_step(
+                    self.state, wm_metrics = wm_step(
                         self.state, self.buf, self._next_key())
             log("Kickstart done.")
             reward = self.evaluate_agent(cfg.eval_episodes)
@@ -359,19 +384,20 @@ class Dreamer:
                 jax.profiler.stop_trace()
                 profiling = False
 
+            train_iteration = self._sharded_iteration or self.trainer.train_iteration
             if executor is not None:
                 # Actor-learner overlap: the host-local (CPU) actor collects
                 # the next round while the TPU learner updates on data through
                 # the previous round — one-round staleness, per the north star.
                 wm_p, actor_p = self._policy_params()
                 future = executor.submit(self._collect_chunk, False, wm_p, actor_p)
-                self.state, step_metrics = self.trainer.train_iteration(
+                self.state, step_metrics = train_iteration(
                     self.state, self.buf, self._next_key())
                 chunks, roll_metrics = future.result()
                 self._write_chunk(chunks)
             else:
                 roll_metrics = self.rollout_policy(random_policy=False)
-                self.state, step_metrics = self.trainer.train_iteration(
+                self.state, step_metrics = train_iteration(
                     self.state, self.buf, self._next_key())
             self.iteration += 1
             self.metrics.log_iteration(self.iteration, {**roll_metrics, **step_metrics})

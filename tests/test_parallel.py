@@ -71,3 +71,20 @@ class TestShardedTraining:
         # reduce further for CPU test speed: just check it traces/lowls
         lowered = jax.jit(fn).lower(*args)
         assert lowered is not None
+
+
+class TestMeshFromConfig:
+    def test_orchestrated_training_on_mesh(self, tmp_path):
+        """Full orchestrator lifecycle with runtime.mesh_shape on the virtual
+        8-CPU platform: rollout -> sharded wm/train steps -> eval."""
+        import numpy as np
+
+        from dreamer_tpu.orchestrator import Dreamer
+        from tests.test_orchestrator import smoke_cfg
+
+        cfg = smoke_cfg(tmp_path, **{"runtime.mesh_shape": "[2,1]",
+                                     "train.batch_size": 8})
+        d = Dreamer(cfg)
+        final = d.train(progress=False)
+        assert np.isfinite(final)
+        assert d.iteration == 4

@@ -1,0 +1,50 @@
+"""Failure detection / elastic recovery wrapper (SURVEY §5: the reference
+loses up to 1000 iterations on a crash; our checkpoints capture everything).
+
+Runs the trainer as a subprocess and relaunches it with ``--resume`` on any
+non-zero exit, with exponential backoff, until it completes or the retry
+budget is exhausted:
+
+    python tools/run_supervised.py --config configs/car_racer.yaml \
+        [--max-restarts 10] [-- <extra cli args...>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max-restarts", type=int, default=10)
+    parser.add_argument("rest", nargs=argparse.REMAINDER,
+                        help="extra args passed to dreamer_tpu.cli.train")
+    args = parser.parse_args()
+
+    extra = [a for a in args.rest if a != "--"]
+    backoff = 5.0
+    for attempt in range(args.max_restarts + 1):
+        cmd = [sys.executable, "-m", "dreamer_tpu.cli.train",
+               "--config", args.config]
+        if attempt > 0:
+            cmd.append("--resume")
+        cmd += extra
+        print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
+        proc = subprocess.run(cmd)
+        if proc.returncode == 0:
+            print("[supervisor] training completed", flush=True)
+            return 0
+        print(f"[supervisor] exit code {proc.returncode}; restarting in "
+              f"{backoff:.0f}s (resume from latest checkpoint)", flush=True)
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 300.0)
+    print("[supervisor] retry budget exhausted", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
