@@ -103,6 +103,7 @@ class EnvConfig:
     action_dim: int = 3
     action_repeat: int = 4
     num_envs: int = 1                     # vectorized env farm size (reference: 1)
+    async_envs: bool = False              # subprocess farm (AsyncEnvFarm) for many envs
     crop_rows: int = 84                   # CarRacing dashboard crop (Adaptors.py:35-46)
     max_episode_steps: Optional[int] = None
 

@@ -1,7 +1,7 @@
 from dreamer_tpu.envs.adaptors import (ActionRepeat, CarRacerAdaptor, CropObservation,
                                        DroneAdaptor, PixelObservation, make_env)
 from dreamer_tpu.envs.fake import FakeEnv
-from dreamer_tpu.envs.vector import EnvFarm
+from dreamer_tpu.envs.vector import AsyncEnvFarm, EnvFarm
 
 __all__ = [
     "ActionRepeat",
@@ -12,4 +12,5 @@ __all__ = [
     "PixelObservation",
     "FakeEnv",
     "EnvFarm",
+    "AsyncEnvFarm",
 ]

@@ -64,3 +64,43 @@ class EnvFarm:
     def close(self):
         for env in self.envs:
             env.close()
+
+
+class AsyncEnvFarm:
+    """Subprocess-parallel env farm on gymnasium's AsyncVectorEnv, with the
+    same interface and auto-reset semantics as EnvFarm (terminal obs
+    discarded: SAME_STEP autoreset returns the reset obs with done=True).
+
+    Use for many-env configs on multicore hosts (BASELINE configs 3-5:
+    64-512 envs/host); EnvFarm's in-process loop is fine for 1-16 envs.
+    Seeding: one spawned seed sequence per env from the initial farm seed
+    (gymnasium reseeds internally on auto-reset, unlike EnvFarm's
+    seed-counter — reproducible per farm seed either way).
+    """
+
+    def __init__(self, env_fns: Sequence[Callable], seed: int):
+        import gymnasium as gym
+        from gymnasium.vector import AutoresetMode
+
+        self.vec = gym.vector.AsyncVectorEnv(
+            list(env_fns), autoreset_mode=AutoresetMode.SAME_STEP)
+        self.num_envs = len(env_fns)
+        self.seed = seed
+        self.vec.action_space.seed(seed)
+        self._single_action_space = self.vec.single_action_space
+
+    def reset_all(self) -> np.ndarray:
+        obs, _ = self.vec.reset(seed=self.seed)
+        return np.asarray(obs, np.uint8)
+
+    def step(self, actions: np.ndarray):
+        obs, rew, term, trunc, _ = self.vec.step(np.asarray(actions))
+        done = np.logical_or(term, trunc)
+        return (np.asarray(obs, np.uint8), np.asarray(rew, np.float32),
+                np.asarray(done, bool))
+
+    def sample_actions(self) -> np.ndarray:
+        return np.asarray(self.vec.action_space.sample())
+
+    def close(self):
+        self.vec.close()

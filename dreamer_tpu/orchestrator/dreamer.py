@@ -50,7 +50,12 @@ class Dreamer:
             action_repeat=cfg.env.action_repeat, crop_rows=cfg.env.crop_rows,
             max_episode_steps=cfg.env.max_episode_steps))
         self._env_factory = factory
-        self.farm = EnvFarm([factory] * cfg.env.num_envs, seed=cfg.train.seed)
+        farm_cls = EnvFarm
+        if cfg.env.async_envs:
+            from dreamer_tpu.envs import AsyncEnvFarm
+
+            farm_cls = AsyncEnvFarm
+        self.farm = farm_cls([factory] * cfg.env.num_envs, seed=cfg.train.seed)
         self.eval_env = factory()
         self._eval_farm = None
         self._eval_seed = cfg.train.seed + 10_000

@@ -117,3 +117,35 @@ class TestPixelObservation:
     def test_pyflyt_missing_gives_clear_error(self):
         with pytest.raises(ImportError, match="PyFlyt"):
             make_env("PyFlyt/QuadX-Waypoints-v4")
+
+
+class TestAsyncEnvFarm:
+    def test_same_interface_and_autoreset(self):
+        from dreamer_tpu.envs import AsyncEnvFarm, FakeEnv
+
+        farm = AsyncEnvFarm([lambda: FakeEnv(episode_len=3)] * 2, seed=0)
+        try:
+            obs = farm.reset_all()
+            assert obs.shape == (2, 64, 64, 3) and obs.dtype == np.uint8
+            for _ in range(3):
+                obs, rew, done = farm.step(np.zeros((2, 3)))
+            assert done.all()
+            assert obs.shape == (2, 64, 64, 3)  # reset obs, not terminal
+            obs2, _, done2 = farm.step(np.zeros((2, 3)))
+            assert not done2.any()
+            a = farm.sample_actions()
+            assert a.shape == (2, 3)
+        finally:
+            farm.close()
+
+    def test_orchestrator_with_async_farm(self, tmp_path):
+        from dreamer_tpu.orchestrator import Dreamer
+        from tests.test_orchestrator import smoke_cfg
+
+        cfg = smoke_cfg(tmp_path, **{"env.async_envs": True,
+                                     "train.training_iterations": 2,
+                                     "train.random_iterations": 1})
+        d = Dreamer(cfg)
+        d.rollout_policy(random_policy=True)
+        assert int(d.buf.size) == cfg.train.sequence_length
+        d.farm.close()
