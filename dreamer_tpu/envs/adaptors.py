@@ -58,9 +58,10 @@ class CropObservation(gym.ObservationWrapper):
 
 
 class ResizeObservation(gym.ObservationWrapper):
-    """Area-resize to (size, size) uint8.  Uses cv2 when present, else a
-    numpy box-filter fallback so the dependency stays optional (the
-    reference's gymnasium ResizeObservation hard-requires cv2)."""
+    """Area-resize to (size, size) uint8.  Uses cv2.INTER_AREA when present,
+    else a numpy area-average fallback with equivalent semantics so the
+    dependency stays optional (the reference's gymnasium ResizeObservation
+    hard-requires cv2)."""
 
     def __init__(self, env, size):
         super().__init__(env)
@@ -84,11 +85,22 @@ class ResizeObservation(gym.ObservationWrapper):
 
 
 def _resize_area_numpy(obs: np.ndarray, size) -> np.ndarray:
-    """Nearest-neighbour fallback resize (no external deps)."""
+    """Area-average fallback resize (no external deps): each output pixel is
+    the mean of its (fractionally weighted, here nearest-partitioned) source
+    box — matching cv2.INTER_AREA up to box-boundary rounding."""
     h, w = obs.shape[:2]
-    ys = (np.linspace(0, h - 1, size[0])).astype(np.int32)
-    xs = (np.linspace(0, w - 1, size[1])).astype(np.int32)
-    return obs[ys][:, xs].astype(np.uint8)
+    oh, ow = size
+    # Partition source rows/cols into oh/ow near-equal boxes and mean-pool.
+    y_edges = (np.arange(oh + 1) * h / oh).round().astype(np.int32)
+    x_edges = (np.arange(ow + 1) * w / ow).round().astype(np.int32)
+    out = np.empty((oh, ow, obs.shape[2]), np.float32)
+    acc = np.add.reduceat(obs.astype(np.float32), y_edges[:-1], axis=0)
+    rows = (y_edges[1:] - y_edges[:-1]).astype(np.float32)[:, None, None]
+    acc = acc / rows
+    acc = np.add.reduceat(acc, x_edges[:-1], axis=1)
+    cols = (x_edges[1:] - x_edges[:-1]).astype(np.float32)[None, :, None]
+    out = acc / cols
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 class PixelObservation(gym.ObservationWrapper):

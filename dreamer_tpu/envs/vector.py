@@ -91,6 +91,11 @@ class AsyncEnvFarm:
 
     def reset_all(self) -> np.ndarray:
         obs, _ = self.vec.reset(seed=self.seed)
+        # Advance the counter so a later reset (e.g. after checkpoint resume)
+        # does not replay episode seeds already stored in the replay buffer.
+        # (Internal per-episode auto-resets reseed from gymnasium's spawned
+        # sequence and are not counted — documented approximation.)
+        self.seed += self.num_envs
         return np.asarray(obs, np.uint8)
 
     def step(self, actions: np.ndarray):

@@ -372,6 +372,12 @@ class Dreamer:
             self.metrics.log_eval(0, reward)
             log(f"Initial eval reward: {reward:.2f}")
 
+        # Guard against learning from unwritten buffer slots (the reference
+        # raises ValueError, Buffer.py:33-34): prime the buffer synchronously
+        # if the kickstart phase was skipped/short.
+        while int(self.buf.size) < cfg.sequence_length:
+            self.rollout_policy(random_policy=True)
+
         executor = None
         if self.cfg.runtime.async_rollout:
             from concurrent.futures import ThreadPoolExecutor

@@ -182,9 +182,15 @@ class Trainer:
         """
         k_obs, k_reset, k_act = jax.random.split(key, 3)
         obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
-        z_step, h_step, _ = self.rssm.observe_step(wm_params, z, h, action_prev, obs, k_obs)
+        # One conv-encoder pass serves both branches (normal observe vs
+        # episode-reset re-encode) — only the cheap posterior MLP runs twice.
+        feat = self.rssm.encode_obs(wm_params, obs)
+        h_step = self.rssm.gru_step(wm_params, z, action_prev, h)
+        z_step = self.rssm._sample(
+            self.rssm.posterior_logits(wm_params, feat, h_step), k_obs)
         h0 = jnp.zeros_like(h)
-        z_reset = self.rssm.encode_initial(wm_params, obs, k_reset, h0)
+        z_reset = self.rssm._sample(
+            self.rssm.posterior_logits(wm_params, feat, h0), k_reset)
         d = done[:, None].astype(jnp.float32)
         h_next = (1.0 - d) * h_step + d * h0
         z_next = (1.0 - d) * z_step + d * z_reset

@@ -23,8 +23,9 @@ import numpy as np
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep_every: int = 1000):
+    def __init__(self, directory: str, keep_last: int = 3):
         self.directory = os.path.abspath(directory)
+        self.keep_last = keep_last
         os.makedirs(self.directory, exist_ok=True)
         import orbax.checkpoint as ocp
 
@@ -35,12 +36,25 @@ class CheckpointManager:
         return os.path.join(self.directory, f"ckpt_{step}")
 
     def save(self, step: int, tree: Any) -> str:
-        """Write checkpoint for ``step`` (and update the 'latest' pointer)."""
+        """Write checkpoint for ``step``, update the 'latest' pointer, and
+        prune all but the newest ``keep_last`` checkpoints (each checkpoint
+        includes the replay rings — GBs at the flagship config)."""
         path = self._path(step)
         self._ckptr.save(path, tree, force=True)
         with open(os.path.join(self.directory, "LATEST"), "w") as f:
             f.write(str(step))
+        self._prune()
         return path
+
+    def _prune(self):
+        import re
+        import shutil
+
+        steps = sorted(
+            int(m.group(1)) for name in os.listdir(self.directory)
+            if (m := re.fullmatch(r"ckpt_(\d+)", name)))
+        for old in steps[: max(0, len(steps) - self.keep_last)]:
+            shutil.rmtree(self._path(old), ignore_errors=True)
 
     def latest_step(self) -> Optional[int]:
         marker = os.path.join(self.directory, "LATEST")

@@ -61,7 +61,8 @@ class MetricsLogger:
             # Re-open with the union of fields (rare: first eval row).
             self._csv_fields = sorted(set(self._csv_fields) | set(row.keys()))
             self._csv_file.close()
-            old = list(csv.DictReader(open(self._csv_path)))
+            with open(self._csv_path, newline="") as f:
+                old = list(csv.DictReader(f))
             self._csv_file = open(self._csv_path, "w", newline="")
             self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=self._csv_fields,
                                               extrasaction="ignore", restval="")

@@ -149,3 +149,30 @@ class TestAsyncEnvFarm:
         d.rollout_policy(random_policy=True)
         assert int(d.buf.size) == cfg.train.sequence_length
         d.farm.close()
+
+
+class TestResizeFallback:
+    def test_numpy_area_matches_cv2(self):
+        import cv2
+
+        from dreamer_tpu.envs.adaptors import _resize_area_numpy
+
+        # smooth image: area methods agree up to box-boundary rounding
+        yy, xx = np.mgrid[0:84, 0:96]
+        obs = np.stack([yy * 3 % 256, xx * 2 % 256, (yy + xx) % 256], -1).astype(np.uint8)
+        ours = _resize_area_numpy(obs, (64, 64))
+        ref = cv2.resize(obs, (64, 64), interpolation=cv2.INTER_AREA)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        # modular wrap creates a few sharp seams; bulk must agree closely
+        assert np.median(diff) <= 3
+        assert (diff <= 10).mean() > 0.9
+
+    def test_downscale_smooths_not_subsamples(self):
+        from dreamer_tpu.envs.adaptors import _resize_area_numpy
+
+        # checkerboard: area-average gives mid-gray, subsampling gives 0 or 255
+        obs = np.indices((96, 96)).sum(0) % 2 * 255
+        obs = np.repeat(obs[..., None], 3, axis=2).astype(np.uint8)
+        out = _resize_area_numpy(obs, (48, 48))
+        assert 100 < out.mean() < 160
+        assert out.std() < 64  # mostly uniform gray, not binary

@@ -55,3 +55,20 @@ class TestDistributed:
 
         assert init_distributed() is False  # no coordinator configured
         assert is_primary()
+
+
+class TestCheckpointPruning:
+    def test_keep_last(self, tmp_path):
+        import os
+
+        from dreamer_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path), keep_last=2)
+        for step in (1, 2, 3, 4):
+            mgr.save(step, {"x": np.arange(3)})
+        names = sorted(os.listdir(tmp_path))
+        assert "ckpt_3" in names and "ckpt_4" in names
+        assert "ckpt_1" not in names and "ckpt_2" not in names
+        assert mgr.latest_step() == 4
+        restored = mgr.restore(4, {"x": np.zeros(3, np.int64)})
+        np.testing.assert_array_equal(np.asarray(restored["x"]), np.arange(3))
