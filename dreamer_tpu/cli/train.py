@@ -45,6 +45,9 @@ def main(argv=None):
     if output_dir:
         cfg = cfg.with_override(f"runtime.log_dir={output_dir}")
 
+    if cfg.runtime.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     print(f"devices: {jax.devices()}")
     dreamer = Dreamer(cfg)
     final_reward = dreamer.train(resume=args.resume)

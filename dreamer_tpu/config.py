@@ -127,6 +127,7 @@ class RuntimeConfig:
     # essential when the accelerator is remote/tunneled, since each env step
     # costs a device round-trip).
     rollout_device: str = "default"
+    debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
     # Overlap env stepping with the learner update (one-round staleness:
     # rollout i+1 collects under params from iteration i).  Requires
     # rollout_device="cpu" so the actor never reads donated learner buffers.

@@ -1,0 +1,87 @@
+"""Config-system tests: reference flat-YAML key mapping, nested schema,
+overrides (SURVEY §5 config subsystem)."""
+
+import dataclasses
+
+import pytest
+
+from dreamer_tpu.config import DreamerConfig
+
+REFERENCE_YAML = "/root/reference/car_racer_config.yaml"
+
+
+class TestFlatReferenceConfig:
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        import os
+
+        if not os.path.exists(REFERENCE_YAML):
+            pytest.skip("reference config not mounted")
+        return DreamerConfig.from_yaml(REFERENCE_YAML)
+
+    def test_every_reference_key_mapped(self, cfg):
+        # car_racer_config.yaml:1-52 — every key lands in the typed tree
+        assert cfg.env.env_id == "CarRacing-v3"
+        assert cfg.wm.hidden_dim == 600
+        assert (cfg.wm.latent_rows, cfg.wm.latent_classes) == (32, 32)
+        assert cfg.env.action_dim == 3
+        assert cfg.wm.obs_size == (64, 64)
+        assert cfg.wm.encoder_filters_1 == 32
+        assert cfg.wm.encoder_filters_2 == 64
+        assert cfg.wm.encoder_hidden == 200
+        assert cfg.wm.decoder_filters_1 == 32
+        assert cfg.wm.decoder_filters_2 == 64
+        assert cfg.wm.decoder_hidden == 200
+        assert cfg.wm.dyn_hidden_1 == cfg.wm.dyn_hidden_2 == 200
+        assert cfg.wm.rew_hidden_1 == cfg.wm.rew_hidden_2 == 200
+        assert cfg.wm.cont_hidden_1 == cfg.wm.cont_hidden_2 == 200
+        assert cfg.agent.actor_hidden_1 == cfg.agent.actor_hidden_2 == 200
+        assert cfg.agent.critic_hidden_1 == cfg.agent.critic_hidden_2 == 200
+        assert cfg.train.horizon == 30
+        assert cfg.train.batch_size == 50
+        assert cfg.agent.nu == pytest.approx(3e-4)
+        assert cfg.agent.lambda_ == pytest.approx(0.95)
+        assert cfg.agent.gamma == pytest.approx(0.99)
+        assert cfg.train.buffer_size == 200_000
+        assert cfg.train.sequence_length == 50
+        assert cfg.train.seed == 42
+        assert cfg.train.training_iterations == 10_000
+        assert cfg.train.random_iterations == 500
+        assert cfg.agent.actor_lr == pytest.approx(8e-5)
+        assert cfg.agent.actor_betas == (0.9, 0.999)
+        assert cfg.agent.actor_eps == pytest.approx(1e-5)
+        assert cfg.agent.critic_lr == pytest.approx(1e-4)
+        assert cfg.agent.critic_betas == (0.9, 0.999)
+        assert cfg.agent.critic_eps == pytest.approx(1e-5)
+        assert cfg.train.ac_epochs == 2
+        assert cfg.wm.lr == pytest.approx(1e-4)
+        assert cfg.wm.betas == (0.9, 0.999)
+        assert cfg.wm.eps == pytest.approx(1e-5)
+        assert cfg.train.wm_epochs == 2
+        assert cfg.wm.beta_pred == pytest.approx(1.0)
+        assert cfg.wm.beta_dyn == pytest.approx(0.5)
+        assert cfg.wm.beta_rep == pytest.approx(0.1)
+        assert cfg.wm.reward_buckets == cfg.agent.critic_buckets == 255
+
+    def test_matches_our_nested_parity_config(self, cfg):
+        ours = DreamerConfig.from_yaml("configs/car_racer.yaml")
+        # identical hyperparameters between the two schemas
+        assert dataclasses.asdict(cfg.wm) == dataclasses.asdict(ours.wm)
+        assert dataclasses.asdict(cfg.agent) == dataclasses.asdict(ours.agent)
+        for field in ("horizon", "batch_size", "sequence_length", "buffer_size",
+                      "training_iterations", "random_iterations", "wm_epochs",
+                      "ac_epochs", "seed"):
+            assert getattr(cfg.train, field) == getattr(ours.train, field), field
+
+
+class TestOverrides:
+    def test_typed_override_parsing(self):
+        cfg = DreamerConfig()
+        cfg = cfg.with_override("wm.betas=[0.8, 0.95]")
+        assert cfg.wm.betas == (0.8, 0.95)
+        cfg = cfg.with_override("runtime.use_pallas_gru=true")
+        assert cfg.runtime.use_pallas_gru is True
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(KeyError):
+            DreamerConfig().with_override("wm.nonexistent=1")
