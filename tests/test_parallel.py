@@ -88,3 +88,11 @@ class TestMeshFromConfig:
         final = d.train(progress=False)
         assert np.isfinite(final)
         assert d.iteration == 4
+
+
+class TestDryrunDeviceCounts:
+    @pytest.mark.parametrize("n", [1, 2, 4])
+    def test_dryrun_various_counts(self, n):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(n)
