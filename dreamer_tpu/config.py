@@ -128,6 +128,7 @@ class RuntimeConfig:
     # costs a device round-trip).
     rollout_device: str = "default"
     debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
+    async_checkpoint: bool = False        # overlap checkpoint writes with training
     # Overlap env stepping with the learner update (one-round staleness:
     # rollout i+1 collects under params from iteration i).  Requires
     # rollout_device="cpu" so the actor never reads donated learner buffers.

@@ -96,7 +96,8 @@ class Dreamer:
                              "(the actor must not read donated learner buffers)")
 
         self.metrics = MetricsLogger(cfg.runtime.log_dir)
-        self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir)
+        self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir,
+                                      use_async=cfg.runtime.async_checkpoint)
 
     # ------------------------------------------------------------------ #
 
@@ -426,5 +427,6 @@ class Dreamer:
         reward = self.evaluate_agent(cfg.final_eval_episodes)
         self.metrics.log_eval(self.iteration, reward)
         self.save_checkpoint()
+        self.ckpt.wait_until_finished()
         self.metrics.save_npz()
         return reward

@@ -23,14 +23,22 @@ import numpy as np
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep_last: int = 3):
+    def __init__(self, directory: str, keep_last: int = 3, use_async: bool = False):
+        """``use_async``: write checkpoints with orbax's AsyncCheckpointer —
+        save() blocks only for the device->host copy; serialization overlaps
+        training (SURVEY §5: "Orbax-style async save")."""
         self.directory = os.path.abspath(directory)
         self.keep_last = keep_last
         os.makedirs(self.directory, exist_ok=True)
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
-        self._ckptr = ocp.PyTreeCheckpointer()
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = use_async
+        self._pending_step = None
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"ckpt_{step}")
@@ -40,11 +48,32 @@ class CheckpointManager:
         prune all but the newest ``keep_last`` checkpoints (each checkpoint
         includes the replay rings — GBs at the flagship config)."""
         path = self._path(step)
+        if self._async:
+            # Land (and finalize) any previous in-flight save first.
+            self.wait_until_finished()
         self._ckptr.save(path, tree, force=True)
+        if self._async:
+            # LATEST/prune must wait for the write to land; do it lazily on
+            # the NEXT save (or wait_until_finished) so training continues.
+            self._pending_step = step
+            return path
+        self._finalize(step)
+        return path
+
+    def _finalize(self, step: int):
         with open(os.path.join(self.directory, "LATEST"), "w") as f:
             f.write(str(step))
         self._prune()
-        return path
+
+    def wait_until_finished(self):
+        """Block until any in-flight async save has landed (call before
+        process exit and before restoring)."""
+        if self._async:
+            self._ckptr.wait_until_finished()
+            pending = getattr(self, "_pending_step", None)
+            if pending is not None:
+                self._finalize(pending)
+                self._pending_step = None
 
     def _prune(self):
         import re
@@ -57,6 +86,7 @@ class CheckpointManager:
             shutil.rmtree(self._path(old), ignore_errors=True)
 
     def latest_step(self) -> Optional[int]:
+        self.wait_until_finished()
         marker = os.path.join(self.directory, "LATEST")
         if not os.path.exists(marker):
             return None

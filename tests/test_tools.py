@@ -72,3 +72,31 @@ class TestCheckpointPruning:
         assert mgr.latest_step() == 4
         restored = mgr.restore(4, {"x": np.zeros(3, np.int64)})
         np.testing.assert_array_equal(np.asarray(restored["x"]), np.arange(3))
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_restore(self, tmp_path):
+        from dreamer_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path), keep_last=2, use_async=True)
+        for step in (1, 2, 3):
+            mgr.save(step, {"x": np.full(4, step)})
+        mgr.wait_until_finished()
+        assert mgr.latest_step() == 3
+        restored = mgr.restore(3, {"x": np.zeros(4)})
+        np.testing.assert_array_equal(np.asarray(restored["x"]), np.full(4, 3))
+        import os
+        assert "ckpt_1" not in os.listdir(tmp_path)
+
+    def test_orchestrator_async_checkpoint(self, tmp_path):
+        from dreamer_tpu.orchestrator import Dreamer
+        from tests.test_orchestrator import smoke_cfg
+
+        cfg = smoke_cfg(tmp_path, **{"runtime.async_checkpoint": True,
+                                     "train.checkpoint_every": 2})
+        d = Dreamer(cfg)
+        final = d.train(progress=False)
+        assert np.isfinite(final)
+        d2 = Dreamer(cfg)
+        assert d2.restore_latest()
+        assert d2.iteration == 4
