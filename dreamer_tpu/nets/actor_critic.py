@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from dreamer_tpu.core.dists import actor_mu_sigma, tanh_normal_sample
+from dreamer_tpu.nets.mlp import ln_silu_trunk
 
 
 class Actor(nn.Module):
@@ -27,10 +28,7 @@ class Actor(nn.Module):
         """Returns (mu, sigma), each (..., action_dim), in float32."""
         # Reference concat order is [h ‖ flat(z)] (Agent.py:193).
         x = jnp.concatenate([h, z_flat], axis=-1).astype(self.dtype)
-        for width in (self.hidden_1, self.hidden_2):
-            x = nn.Dense(width, dtype=self.dtype)(x)
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-            x = nn.silu(x)
+        x = ln_silu_trunk(x, (self.hidden_1, self.hidden_2), self.dtype)
         mu_raw = nn.Dense(self.action_dim, dtype=self.dtype,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros, name="mu_head")(x)
@@ -57,8 +55,5 @@ class Critic(nn.Module):
     def __call__(self, h: jnp.ndarray, z_flat: jnp.ndarray) -> jnp.ndarray:
         """Returns twohot value logits (..., num_buckets) in float32."""
         x = jnp.concatenate([h, z_flat], axis=-1).astype(self.dtype)
-        for width in (self.hidden_1, self.hidden_2):
-            x = nn.Dense(width, dtype=self.dtype)(x)
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-            x = nn.silu(x)
+        x = ln_silu_trunk(x, (self.hidden_1, self.hidden_2), self.dtype)
         return nn.Dense(self.num_buckets, dtype=self.dtype)(x).astype(jnp.float32)
