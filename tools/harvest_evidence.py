@@ -1,0 +1,62 @@
+"""Collect training-run evidence into docs/evidence/ (committed, unlike the
+gitignored runs/): curves PNG, eval table, and a summary markdown.
+
+    python tools/harvest_evidence.py --run runs/carracer --name carracer
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run", required=True, help="run dir containing logs/")
+    parser.add_argument("--name", required=True)
+    parser.add_argument("--out", default="docs/evidence")
+    args = parser.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    logs = os.path.join(args.run, "logs")
+
+    from tools.plot_results import plot_curves
+
+    npz = os.path.join(logs, "training_logs.npz")
+    png = os.path.join(args.out, f"{args.name}_curves.png")
+    plot_curves(npz, png)
+
+    data = np.load(npz)
+    rows = list(csv.DictReader(open(os.path.join(logs, "metrics.csv"))))
+    eval_rows = [(int(r["iteration"]), float(r["eval/mean_reward"]))
+                 for r in rows if r.get("eval/mean_reward")]
+    train_rows = [r for r in rows if r.get("rollout/reward_mean")]
+    wall_hours = float(train_rows[-1]["wall_time"]) / 3600 if train_rows else 0.0
+
+    summary = {
+        "name": args.name,
+        "iterations": int(train_rows[-1]["iteration"]) if train_rows else 0,
+        "env_steps": (int(train_rows[-1]["iteration"]) if train_rows else 0) * 50,
+        "wall_hours": round(wall_hours, 2),
+        "eval_curve": eval_rows,
+        "final_wm_loss": float(train_rows[-1]["wm/loss"]) if train_rows else None,
+        "npz_keys": {k: list(np.asarray(data[k]).shape) for k in data.files},
+    }
+    with open(os.path.join(args.out, f"{args.name}_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    # keep the raw npz alongside for reproducibility
+    import shutil
+
+    shutil.copy(npz, os.path.join(args.out, f"{args.name}_training_logs.npz"))
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
