@@ -86,28 +86,34 @@ class ResizeObservation(gym.ObservationWrapper):
 
 def _resize_area_numpy(obs: np.ndarray, size) -> np.ndarray:
     """Area-average fallback resize (no external deps): each output pixel is
-    the mean of its (fractionally weighted, here nearest-partitioned) source
-    box — matching cv2.INTER_AREA up to box-boundary rounding."""
+    the mean of its (nearest-partitioned) source box — matching
+    cv2.INTER_AREA up to box-boundary rounding.  Upscaled dimensions fall
+    back to nearest-neighbour (a box partition would have zero-width boxes)."""
     h, w = obs.shape[:2]
     oh, ow = size
-    # Partition source rows/cols into oh/ow near-equal boxes and mean-pool.
-    y_edges = (np.arange(oh + 1) * h / oh).round().astype(np.int32)
-    x_edges = (np.arange(ow + 1) * w / ow).round().astype(np.int32)
-    out = np.empty((oh, ow, obs.shape[2]), np.float32)
-    acc = np.add.reduceat(obs.astype(np.float32), y_edges[:-1], axis=0)
-    rows = (y_edges[1:] - y_edges[:-1]).astype(np.float32)[:, None, None]
-    acc = acc / rows
-    acc = np.add.reduceat(acc, x_edges[:-1], axis=1)
-    cols = (x_edges[1:] - x_edges[:-1]).astype(np.float32)[None, :, None]
-    out = acc / cols
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    x = obs.astype(np.float32)
+    if oh < h:
+        y_edges = (np.arange(oh + 1) * h / oh).round().astype(np.int32)
+        rows = (y_edges[1:] - y_edges[:-1]).astype(np.float32)[:, None, None]
+        x = np.add.reduceat(x, y_edges[:-1], axis=0) / rows
+    else:
+        x = x[(np.linspace(0, h - 1, oh)).astype(np.int32)]
+    if ow < w:
+        x_edges = (np.arange(ow + 1) * w / ow).round().astype(np.int32)
+        cols = (x_edges[1:] - x_edges[:-1]).astype(np.float32)[None, :, None]
+        x = np.add.reduceat(x, x_edges[:-1], axis=1) / cols
+    else:
+        x = x[:, (np.linspace(0, w - 1, ow)).astype(np.int32)]
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
 
 
 class PixelObservation(gym.ObservationWrapper):
-    """Replace a state-vector observation with the rendered frame, for
-    learning state-based Box2D envs (LunarLander, BipedalWalker) from pixels
-    (BASELINE configs 2 and 4).  Requires the env to be constructed with
-    ``render_mode="rgb_array"``."""
+    """Replace a state-vector observation with the rendered RGB frame, for
+    learning state-based envs (LunarLander, BipedalWalker, PyFlyt) from
+    pixels (BASELINE configs 2, 4, 5).  Requires the env to be constructed
+    with ``render_mode="rgb_array"``.  RGBA renders (e.g. pybullet) are
+    sliced to RGB.  Wrap OUTSIDE ActionRepeat so only one frame per agent
+    step is rendered."""
 
     def __init__(self, env):
         super().__init__(env)
@@ -118,11 +124,11 @@ class PixelObservation(gym.ObservationWrapper):
     @staticmethod
     def _frame_shape(env):
         env.reset(seed=0)
-        frame = env.render()
-        return np.asarray(frame).shape
+        frame = np.asarray(env.render())
+        return frame.shape[:2] + (3,)
 
     def observation(self, obs):
-        return np.asarray(self.env.render(), dtype=np.uint8)
+        return np.asarray(self.env.render(), dtype=np.uint8)[..., :3]
 
 
 class ActionRepeat(gym.Wrapper):
@@ -168,11 +174,13 @@ def make_env(env_id: str, obs_size=(64, 64), action_repeat: int = 4,
             raise ImportError(
                 "PyFlyt is not installed; the drone configs need the optional "
                 "PyFlyt dependency (pip install PyFlyt)") from e
-        env = gym.make(env_id, render_mode=render_mode or "rgb_array")
+        env = gym.make(env_id, render_mode=render_mode or "rgb_array",
+                       max_episode_steps=max_episode_steps)
+        # ActionRepeat INSIDE PixelObservation: one render per agent step.
+        env = ActionRepeat(env, repeat=action_repeat)
         env = PixelObservation(env)
         env = ResizeObservation(env, obs_size)
-        env = DroneAdaptor(env)
-        return ActionRepeat(env, repeat=action_repeat)
+        return DroneAdaptor(env)
 
     kwargs = {}
     # State-vector Box2D envs learned FROM PIXELS (BASELINE configs 2/4):
@@ -187,8 +195,10 @@ def make_env(env_id: str, obs_size=(64, 64), action_repeat: int = 4,
     env = gym.make(env_id, render_mode=render_mode,
                    max_episode_steps=max_episode_steps, **kwargs)
     if pixels_from_render:
+        # ActionRepeat first so intermediate frames are never rendered.
+        env = ActionRepeat(env, repeat=action_repeat)
         env = PixelObservation(env)
-        crop_rows = None  # no dashboard to crop on rendered frames
+        return ResizeObservation(env, obs_size)
     if crop_rows:
         env = CropObservation(env, crop_rows)
     env = ResizeObservation(env, obs_size)

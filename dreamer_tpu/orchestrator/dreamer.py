@@ -45,10 +45,14 @@ class Dreamer:
         self.buf = self.trainer.buffer.init_state()
         self.iteration = 0
 
-        factory = env_factory or (lambda: make_env(
-            cfg.env.env_id, obs_size=cfg.wm.obs_size,
+        import functools
+
+        # functools.partial of the module-level make_env stays picklable for
+        # AsyncEnvFarm's worker processes under spawn start methods.
+        factory = env_factory or functools.partial(
+            make_env, cfg.env.env_id, obs_size=cfg.wm.obs_size,
             action_repeat=cfg.env.action_repeat, crop_rows=cfg.env.crop_rows,
-            max_episode_steps=cfg.env.max_episode_steps))
+            max_episode_steps=cfg.env.max_episode_steps)
         self._env_factory = factory
         farm_cls = EnvFarm
         if cfg.env.async_envs:
@@ -228,6 +232,8 @@ class Dreamer:
         t = self.trainer
         wm_p, actor_p = self._policy_params()
         if self._eval_farm is None or self._eval_farm.num_envs != eval_episodes:
+            if self._eval_farm is not None:
+                self._eval_farm.close()
             self._eval_farm = EnvFarm([self._env_factory] * eval_episodes,
                                       seed=self._eval_seed)
         farm = self._eval_farm

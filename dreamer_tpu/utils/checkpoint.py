@@ -39,6 +39,9 @@ class CheckpointManager:
             self._ckptr = ocp.PyTreeCheckpointer()
         self._async = use_async
         self._pending_step = None
+        import threading
+
+        self._finalize_lock = threading.Lock()
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"ckpt_{step}")
@@ -53,9 +56,13 @@ class CheckpointManager:
             self.wait_until_finished()
         self._ckptr.save(path, tree, force=True)
         if self._async:
-            # LATEST/prune must wait for the write to land; do it lazily on
-            # the NEXT save (or wait_until_finished) so training continues.
+            # Finalize (LATEST pointer + prune) from a daemon thread as soon
+            # as the write lands — a crash between checkpoints must still
+            # leave a resumable LATEST for run_supervised.py.
+            import threading
+
             self._pending_step = step
+            threading.Thread(target=self.wait_until_finished, daemon=True).start()
             return path
         self._finalize(step)
         return path
@@ -66,14 +73,15 @@ class CheckpointManager:
         self._prune()
 
     def wait_until_finished(self):
-        """Block until any in-flight async save has landed (call before
-        process exit and before restoring)."""
+        """Block until any in-flight async save has landed and finalized
+        (idempotent; also invoked from the post-save daemon thread)."""
         if self._async:
             self._ckptr.wait_until_finished()
-            pending = getattr(self, "_pending_step", None)
-            if pending is not None:
-                self._finalize(pending)
-                self._pending_step = None
+            with self._finalize_lock:
+                pending = self._pending_step
+                if pending is not None:
+                    self._finalize(pending)
+                    self._pending_step = None
 
     def _prune(self):
         import re

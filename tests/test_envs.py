@@ -176,3 +176,25 @@ class TestResizeFallback:
         out = _resize_area_numpy(obs, (48, 48))
         assert 100 < out.mean() < 160
         assert out.std() < 64  # mostly uniform gray, not binary
+
+
+class TestResizeUpscale:
+    def test_upscale_no_inf(self):
+        from dreamer_tpu.envs.adaptors import _resize_area_numpy
+
+        obs = np.arange(32 * 24 * 3, dtype=np.uint8).reshape(32, 24, 3)
+        out = _resize_area_numpy(obs, (64, 64))
+        assert out.shape == (64, 64, 3)
+        assert np.isfinite(out.astype(np.float64)).all()
+        assert out.max() <= 255 and out.min() >= 0
+
+
+class TestPickleableFactory:
+    def test_default_factory_pickles(self, tmp_path):
+        import pickle
+
+        from dreamer_tpu.orchestrator import Dreamer
+        from tests.test_orchestrator import smoke_cfg
+
+        d = Dreamer(smoke_cfg(tmp_path))
+        pickle.dumps(d._env_factory)  # must not raise (spawn-safe)

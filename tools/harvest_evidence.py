@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--run", required=True, help="run dir containing logs/")
     parser.add_argument("--name", required=True)
     parser.add_argument("--out", default="docs/evidence")
+    parser.add_argument("--env-steps-per-iter", type=int, default=50,
+                        help="sequence_length * num_envs of the run's config "
+                             "(default matches the single-env CarRacer config)")
     args = parser.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -43,7 +46,8 @@ def main():
     summary = {
         "name": args.name,
         "iterations": int(train_rows[-1]["iteration"]) if train_rows else 0,
-        "env_steps": (int(train_rows[-1]["iteration"]) if train_rows else 0) * 50,
+        "env_steps": (int(train_rows[-1]["iteration"]) if train_rows else 0)
+                     * args.env_steps_per_iter,
         "wall_hours": round(wall_hours, 2),
         "eval_curve": eval_rows,
         "final_wm_loss": float(train_rows[-1]["wm/loss"]) if train_rows else None,
