@@ -1,4 +1,13 @@
-from dreamer_tpu.core.math import symlog, symexp, twohot, bucket_values, twohot_expectation
+from dreamer_tpu.core.math import (
+    symlog,
+    symexp,
+    twohot,
+    bucket_values,
+    twohot_expectation,
+    gaussian_log_probability,
+    bernoulli_log_probability,
+    gaussian_kl,
+)
 from dreamer_tpu.core.dists import (
     unimix_probs,
     sample_onehot_ste,
@@ -15,6 +24,9 @@ __all__ = [
     "twohot",
     "bucket_values",
     "twohot_expectation",
+    "gaussian_log_probability",
+    "bernoulli_log_probability",
+    "gaussian_kl",
     "unimix_probs",
     "sample_onehot_ste",
     "categorical_kl",

@@ -56,6 +56,38 @@ def _one_hot_weighted(idx: jnp.ndarray, weight: jnp.ndarray, k: int) -> jnp.ndar
     return oh * weight[..., None].astype(jnp.float32)
 
 
+def gaussian_log_probability(x: jnp.ndarray, mu: jnp.ndarray,
+                             sigma: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Normal(mu, sigma) log-density of x.
+
+    API-completeness port of the reference's unused helper
+    (DreamerUtils.py:4-10); not used by the training path.
+    """
+    var = jnp.square(sigma)
+    return -0.5 * (jnp.log(2.0 * jnp.pi * var) + jnp.square(x - mu) / var)
+
+
+def bernoulli_log_probability(p: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Bernoulli(p) log-likelihood of outcome k, probabilities
+    clamped away from 0 by 1e-8 (reference: DreamerUtils.py:12-16; unused
+    there).  The clamp is applied to each log argument — in float32 the
+    reference's ``p <= 1 - 1e-8`` clamp rounds back to 1.0 and still yields
+    -inf at p=1, which we avoid."""
+    eps = 1e-8
+    return (k * jnp.log(jnp.clip(p, eps, 1.0))
+            + (1.0 - k) * jnp.log(jnp.clip(1.0 - p, eps, 1.0)))
+
+
+def gaussian_kl(mu_1: jnp.ndarray, sigma_1: jnp.ndarray,
+                mu_2: jnp.ndarray, sigma_2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise KL(N(mu_1, sigma_1) || N(mu_2, sigma_2))
+    (reference: DreamerUtils.py:18-27, its
+    kullback_leibler_divergence_between_gaussians; unused there)."""
+    var_1, var_2 = jnp.square(sigma_1), jnp.square(sigma_2)
+    return (jnp.log(sigma_2 / sigma_1)
+            + (var_1 + jnp.square(mu_1 - mu_2)) / (2.0 * var_2) - 0.5)
+
+
 def twohot_expectation(logits: jnp.ndarray, buckets: jnp.ndarray) -> jnp.ndarray:
     """symexp(sum softmax(logits) * buckets) — decode a twohot head to a scalar.
 

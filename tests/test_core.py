@@ -240,3 +240,52 @@ class TestReturnScale:
         returns = jnp.full((2, 2), jnp.nan)
         s = update_return_scale(jnp.asarray(3.0), returns)
         assert float(s) == 3.0
+
+
+class TestUnusedReferencePorts:
+    """The reference ships three unused helpers (DreamerUtils.py:4-27); we
+    port them for API completeness and verify against torch."""
+
+    def test_gaussian_log_probability(self):
+        import torch
+
+        from dreamer_tpu.core import gaussian_log_probability
+
+        rng = np.random.RandomState(0)
+        x, mu = rng.randn(5, 3), rng.randn(5, 3)
+        sigma = rng.rand(5, 3) + 0.1
+        ref = torch.distributions.Normal(
+            torch.as_tensor(mu), torch.as_tensor(sigma)
+        ).log_prob(torch.as_tensor(x)).numpy()
+        ours = gaussian_log_probability(jnp.asarray(x), jnp.asarray(mu), jnp.asarray(sigma))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+    def test_bernoulli_log_probability(self):
+        from dreamer_tpu.core import bernoulli_log_probability
+
+        p = jnp.asarray([0.0, 0.25, 0.9, 1.0])
+        k = jnp.asarray([0.0, 1.0, 1.0, 0.0])
+        out = np.asarray(bernoulli_log_probability(p, k))
+        expected = np.array([0.0, np.log(0.25), np.log(0.9), np.log(1e-8)])
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+    def test_gaussian_kl(self):
+        import torch
+
+        from dreamer_tpu.core import gaussian_kl
+
+        rng = np.random.RandomState(1)
+        mu1, mu2 = rng.randn(4), rng.randn(4)
+        s1, s2 = rng.rand(4) + 0.1, rng.rand(4) + 0.1
+        ref = torch.distributions.kl_divergence(
+            torch.distributions.Normal(torch.as_tensor(mu1), torch.as_tensor(s1)),
+            torch.distributions.Normal(torch.as_tensor(mu2), torch.as_tensor(s2)),
+        ).numpy()
+        ours = gaussian_kl(jnp.asarray(mu1), jnp.asarray(s1), jnp.asarray(mu2), jnp.asarray(s2))
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+    def test_same_gaussian_zero_kl(self):
+        from dreamer_tpu.core import gaussian_kl
+
+        out = gaussian_kl(jnp.asarray(1.0), jnp.asarray(0.5), jnp.asarray(1.0), jnp.asarray(0.5))
+        assert float(out) == pytest.approx(0.0, abs=1e-7)
