@@ -127,6 +127,11 @@ class RuntimeConfig:
     # essential when the accelerator is remote/tunneled, since each env step
     # costs a device round-trip).
     rollout_device: str = "default"
+    # Wire dtype of the per-round learner->actor weight broadcast when
+    # rollout_device="cpu".  "bfloat16" halves the bytes on the wire (~3x
+    # faster over a remote-chip tunnel); the host policy still computes in
+    # f32, on bf16-rounded weights.  Default keeps full-precision parity.
+    broadcast_dtype: str = "float32"
     debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
     async_checkpoint: bool = False        # overlap checkpoint writes with training
     # Overlap env stepping with the learner update (one-round staleness:

@@ -37,11 +37,31 @@ class Dreamer:
                  jit: bool = True):
         self.cfg = cfg
         self.trainer = Trainer(cfg, jit=jit, donate=jit)
+        # The rollout/eval policy runs in float32 regardless of the learner's
+        # compute dtype: the reference's autocast wraps only training_step
+        # (WorldModel.py:162) — rollout_policy/evaluate_agent run fp32.  On a
+        # host-local (CPU) actor this is also ~5x faster than emulated bf16.
+        self._policy_trainer = self.trainer
+        if cfg.runtime.compute_dtype != "float32":
+            import dataclasses
+
+            pol_cfg = dataclasses.replace(
+                cfg, runtime=dataclasses.replace(cfg.runtime,
+                                                 compute_dtype="float32"))
+            self._policy_trainer = Trainer(pol_cfg, jit=jit)
         import threading
 
         self._rng_lock = threading.Lock()
-        self.rng = jax.random.PRNGKey(cfg.train.seed)
-        self.state = self.trainer.init_state(self._next_key())
+        # RNG keys live host-side (CPU-committed): key splits happen dozens of
+        # times per rollout round, and splitting on a remote accelerator costs
+        # a device round-trip each (~30 ms over a tunnel).  Keys destined for
+        # learner programs are device_put explicitly (32 bytes, async).
+        self._cpu_device = jax.devices("cpu")[0]
+        self._learner_device = jax.devices()[0]
+        self._plan = None
+        self.rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed),
+                                  self._cpu_device)
+        self.state = self.trainer.init_state(self._learner_key())
         self.buf = self.trainer.buffer.init_state()
         self.iteration = 0
 
@@ -68,7 +88,6 @@ class Dreamer:
         # state/buffer are placed with the MeshPlan shardings and the learner
         # programs run sharded (gradient psum over ICI).  Call
         # parallel.distributed.init_distributed() first for multi-host.
-        self._plan = None
         self._sharded_iteration = None
         self._sharded_wm_step = None
         if cfg.runtime.mesh_shape:
@@ -94,7 +113,7 @@ class Dreamer:
         self._action = None   # device (N, A) — the action to apply next
         self._obs = None      # host uint8 (N, H, W, 3) — obs BEFORE that action
         self._policy_cache = None       # (state identity, broadcast params)
-        self._rollout_key_dev = None    # CPU device when rollout_device="cpu"
+        self._broadcast_fns = None      # lazy (flatten, unflatten) pair
         if cfg.runtime.async_rollout and cfg.runtime.rollout_device != "cpu":
             raise ValueError("runtime.async_rollout requires runtime.rollout_device='cpu' "
                              "(the actor must not read donated learner buffers)")
@@ -107,10 +126,18 @@ class Dreamer:
 
     def _next_key(self) -> jax.Array:
         # Lock: in async mode both the rollout thread and the learner draw
-        # keys from the same stream.
+        # keys from the same stream.  self.rng is CPU-committed, so the split
+        # runs host-side (no accelerator round-trip).
         with self._rng_lock:
             self.rng, key = jax.random.split(self.rng)
         return key
+
+    def _learner_key(self) -> jax.Array:
+        """A fresh key placed where the learner programs run (async copy)."""
+        key = self._next_key()
+        if self._plan is not None:
+            return jax.device_put(key, self._plan.replicated())
+        return jax.device_put(key, self._learner_device)
 
     # ------------------------------------------------------------------ #
     # Rollout (Dreamer.py:177-226)
@@ -124,28 +151,63 @@ class Dreamer:
         are copied device->host once per round and every env step is a local
         CPU program instead of an accelerator round-trip (which dominates
         wall-clock when the chip is remote — one fused policy call per step).
+        The copy rides ONE flattened buffer: per-leaf device_put pays a
+        device round-trip per leaf (74 leaves ~ seconds over a tunnel), while
+        concat-on-device + one fetch moves the same 32 MB in ~0.2 s.
         """
         if self._policy_cache is not None and self._policy_cache[0] is self.state:
             return self._policy_cache[1]
         params = (self.state.wm.params, self.state.ac.actor_params)
         if self.cfg.runtime.rollout_device == "cpu":
-            cpu = jax.devices("cpu")[0]
+            cpu = self._cpu_device
             if any(cpu in leaf.devices() for leaf in jax.tree.leaves(params)[:1]):
                 # Learner already lives on this CPU device (CPU test platform):
                 # device_put would alias the learner buffers, which are later
                 # DONATED by train_iteration — force a real copy.
                 params = jax.tree.map(jnp.copy, params)
             else:
-                params = jax.device_put(params, cpu)
-            if self._rollout_key_dev is None:
-                self._rollout_key_dev = cpu
+                if self._broadcast_fns is None:
+                    self._broadcast_fns = self._make_broadcast_fns(params)
+                flatten, unflatten = self._broadcast_fns
+                if flatten is not None:
+                    params = unflatten(np.asarray(flatten(params)))
+                else:  # non-f32 leaves (never in practice): per-leaf fallback
+                    params = jax.device_put(params, cpu)
         self._policy_cache = (self.state, params)
         return params
 
+    def _make_broadcast_fns(self, params):
+        """Build (device-flatten, host-unflatten) for the policy param tree."""
+        leaves, treedef = jax.tree.flatten(params)
+        if not all(l.dtype == jnp.float32 for l in leaves):
+            return (None, None)
+        shapes = [l.shape for l in leaves]
+        sizes = [int(np.prod(s)) for s in shapes]
+        offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        wire_dtype = jnp.dtype(self.cfg.runtime.broadcast_dtype)
+
+        flatten = jax.jit(lambda p: jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree.leaves(p)]).astype(wire_dtype))
+
+        def unflatten(host_flat: np.ndarray):
+            ls = [jax.device_put(
+                      np.ascontiguousarray(
+                          host_flat[offsets[i]:offsets[i + 1]]
+                          .astype(np.float32, copy=False).reshape(shapes[i])),
+                      self._cpu_device)
+                  for i in range(len(shapes))]
+            return jax.tree.unflatten(treedef, ls)
+
+        return (flatten, unflatten)
+
     def _rollout_key(self) -> jax.Array:
         key = self._next_key()
-        if self._rollout_key_dev is not None:
-            key = jax.device_put(key, self._rollout_key_dev)
+        if self.cfg.runtime.rollout_device != "cpu":
+            # Policy runs where the learner params live; ship the host key
+            # there (async, 32 bytes).
+            if self._plan is not None:
+                return jax.device_put(key, self._plan.replicated())
+            return jax.device_put(key, self._learner_device)
         return key
 
     def rollout_policy(self, random_policy: bool = False) -> Dict[str, float]:
@@ -159,12 +221,15 @@ class Dreamer:
         """Step the env farm for one round; returns host-side chunk arrays.
         Does NOT touch the replay buffer (async mode writes after the learner
         step so donated buffers are never read concurrently)."""
-        t = self.trainer
+        t = self._policy_trainer
+        # Host np arrays are passed straight into the jitted policy programs:
+        # jit places them next to the (committed) params, so a host-local
+        # actor never bounces observations through the accelerator.
         if self._obs is None:
             self._obs = self.farm.reset_all()
             self._h, self._z = t.policy_reset(
-                wm_params, jnp.asarray(self._obs), self._rollout_key())
-            self._action = (jnp.asarray(self.farm.sample_actions(), jnp.float32)
+                wm_params, self._obs, self._rollout_key())
+            self._action = (np.asarray(self.farm.sample_actions(), np.float32)
                             if random_policy else
                             t.policy_act(actor_params, self._h, self._z,
                                          self._rollout_key()))
@@ -184,9 +249,9 @@ class Dreamer:
             # but the state update uses the ACTUALLY APPLIED action.
             self._h, self._z, next_action = t.policy_act_observe(
                 wm_params, actor_params,
-                self._h, self._z, self._action, jnp.asarray(obs_next),
-                jnp.asarray(done), self._rollout_key())
-            self._action = (jnp.asarray(self.farm.sample_actions(), jnp.float32)
+                self._h, self._z, action_np, obs_next,
+                done, self._rollout_key())
+            self._action = (np.asarray(self.farm.sample_actions(), np.float32)
                             if random_policy else next_action)
             self._obs = obs_next
 
@@ -229,7 +294,7 @@ class Dreamer:
         return self._evaluate_batched(eval_episodes, max_steps)
 
     def _evaluate_batched(self, eval_episodes: int, max_steps: int) -> float:
-        t = self.trainer
+        t = self._policy_trainer
         wm_p, actor_p = self._policy_params()
         if self._eval_farm is None or self._eval_farm.num_envs != eval_episodes:
             if self._eval_farm is not None:
@@ -240,7 +305,7 @@ class Dreamer:
         farm.seed = self._eval_seed
         obs = farm.reset_all()
         self._eval_seed += eval_episodes
-        h, z = t.policy_reset(wm_p, jnp.asarray(obs), self._rollout_key())
+        h, z = t.policy_reset(wm_p, obs, self._rollout_key())
         totals = np.zeros(eval_episodes)
         alive = np.ones(eval_episodes, bool)
         for _ in range(max_steps):
@@ -261,16 +326,16 @@ class Dreamer:
             if not alive.any():
                 break
             obs = np.stack(obs_list)
-            z, h = t.policy_observe(wm_p, z, h, action, jnp.asarray(obs),
+            z, h = t.policy_observe(wm_p, z, h, action, obs,
                                     self._rollout_key())
         return float(np.mean(totals))
 
     def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:
-        t = self.trainer
+        t = self._policy_trainer
         wm_p, actor_p = self._policy_params()
         obs, _ = env.reset(seed=seed)
         obs = np.asarray(obs, np.uint8)[None]
-        h, z = t.policy_reset(wm_p, jnp.asarray(obs), self._rollout_key())
+        h, z = t.policy_reset(wm_p, obs, self._rollout_key())
         total = 0.0
         for _ in range(max_steps):
             if render:
@@ -283,7 +348,7 @@ class Dreamer:
                 break
             obs = np.asarray(obs_next, np.uint8)[None]
             z, h = t.policy_observe(wm_p, z, h, action,
-                                    jnp.asarray(obs), self._rollout_key())
+                                    obs, self._rollout_key())
         return total
 
     def run(self, env=None, env_seed: int = 0, render: bool = True,
@@ -346,7 +411,7 @@ class Dreamer:
         _, tree = result
         self.state = tree["state"]
         self.buf = tree["buffer"]
-        self.rng = tree["rng"]
+        self.rng = jax.device_put(tree["rng"], self._cpu_device)
         self.iteration = int(tree["iteration"])
         self.farm.seed = int(tree["env_seed"])
         self._eval_seed = int(tree["eval_seed"])
@@ -373,7 +438,7 @@ class Dreamer:
                 self.rollout_policy(random_policy=True)
                 if int(self.buf.size) >= cfg.sequence_length:
                     self.state, wm_metrics = wm_step(
-                        self.state, self.buf, self._next_key())
+                        self.state, self.buf, self._learner_key())
             log("Kickstart done.")
             reward = self.evaluate_agent(cfg.eval_episodes)
             self.metrics.log_eval(0, reward)
@@ -410,14 +475,17 @@ class Dreamer:
                 wm_p, actor_p = self._policy_params()
                 future = executor.submit(self._collect_chunk, False, wm_p, actor_p)
                 self.state, step_metrics = train_iteration(
-                    self.state, self.buf, self._next_key())
+                    self.state, self.buf, self._learner_key())
                 chunks, roll_metrics = future.result()
                 self._write_chunk(chunks)
             else:
                 roll_metrics = self.rollout_policy(random_policy=False)
                 self.state, step_metrics = train_iteration(
-                    self.state, self.buf, self._next_key())
+                    self.state, self.buf, self._learner_key())
             self.iteration += 1
+            # ONE host transfer for the whole metrics dict (float() per scalar
+            # would cost a device round-trip each — ~26 per iteration).
+            step_metrics = jax.device_get(step_metrics)
             self.metrics.log_iteration(self.iteration, {**roll_metrics, **step_metrics})
 
             if self.iteration % cfg.checkpoint_every == 0:

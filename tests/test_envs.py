@@ -96,6 +96,28 @@ class TestCarRacingStack:
         assert obs.shape == (64, 64, 3)
         env.close()
 
+    def test_fast_repeat_trajectory_identical(self):
+        """The render-skipping fast path must produce EXACTLY the reference
+        wrapper stack's trajectory: same obs, rewards, and termination for
+        the same seed and action sequence."""
+        fast = make_env("CarRacing-v3", fast_repeat=True)
+        ref = make_env("CarRacing-v3", fast_repeat=False)
+        obs_f, _ = fast.reset(seed=7)
+        obs_r, _ = ref.reset(seed=7)
+        np.testing.assert_array_equal(obs_f, obs_r)
+        rng = np.random.default_rng(0)
+        for _ in range(40):
+            a = rng.uniform(-1, 1, size=3).astype(np.float32)
+            of, rf, tf, cf, _ = fast.step(a)
+            orr, rr, tr, cr, _ = ref.step(a)
+            assert (tf, cf) == (tr, cr)
+            assert rf == pytest.approx(rr, abs=1e-9)
+            np.testing.assert_array_equal(of, orr)
+            if tf or cf:
+                break
+        fast.close()
+        ref.close()
+
 
 class TestPixelObservation:
     def test_lunar_lander_pixels(self):
