@@ -56,8 +56,11 @@ class Dreamer:
         # times per rollout round, and splitting on a remote accelerator costs
         # a device round-trip each (~30 ms over a tunnel).  Keys destined for
         # learner programs are device_put explicitly (32 bytes, async).
-        self._cpu_device = jax.devices("cpu")[0]
-        self._learner_device = jax.devices()[0]
+        # local_devices, not devices: under multi-host JAX the global device
+        # list leads with process 0's devices, which other processes cannot
+        # device_put to.
+        self._cpu_device = jax.local_devices(backend="cpu")[0]
+        self._learner_device = jax.local_devices()[0]
         self._plan = None
         self.rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed),
                                   self._cpu_device)
@@ -186,8 +189,10 @@ class Dreamer:
         offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         wire_dtype = jnp.dtype(self.cfg.runtime.broadcast_dtype)
 
+        # Cast per-leaf BEFORE the concat so the flat staging buffer is
+        # allocated at the wire dtype (half the peak HBM for bf16), not f32.
         flatten = jax.jit(lambda p: jnp.concatenate(
-            [jnp.ravel(x) for x in jax.tree.leaves(p)]).astype(wire_dtype))
+            [jnp.ravel(x).astype(wire_dtype) for x in jax.tree.leaves(p)]))
 
         def unflatten(host_flat: np.ndarray):
             ls = [jax.device_put(

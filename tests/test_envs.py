@@ -65,6 +65,55 @@ class TestAdaptors:
         obs, _ = env.reset(seed=0)
         assert obs.shape == (32, 32, 3)
 
+    def test_fast_repeat_early_termination_rerenders(self):
+        """When the episode ends mid-repeat, RenderSkippingActionRepeat must
+        return a REAL render of the terminal frame, not the stale stubbed one
+        — and must only render frames that are actually observed."""
+        import gymnasium as gym
+        from dreamer_tpu.envs import RenderSkippingActionRepeat
+
+        class RenderCountingEnv(gym.Env):
+            """Mimics CarRacing's obs-from-render step() structure."""
+            observation_space = gym.spaces.Box(0, 255, (8, 8, 3), np.uint8)
+            action_space = gym.spaces.Box(-1, 1, (1,), np.float32)
+
+            def __init__(self, terminate_at):
+                self.renders = 0
+                self.frames = 0
+                self.state = None
+                self.terminate_at = terminate_at
+
+            def _render(self, mode):
+                self.renders += 1
+                return np.full((8, 8, 3), self.frames, np.uint8)
+
+            def reset(self, seed=None, options=None):
+                self.frames = 0
+                self.state = self._render("state_pixels")
+                return self.state, {}
+
+            def step(self, action):
+                self.frames += 1
+                self.state = self._render("state_pixels")
+                return (self.state, 1.0, self.frames >= self.terminate_at,
+                        False, {})
+
+        # Early termination at frame 2 of a 4-repeat: re-render fires.
+        env = RenderSkippingActionRepeat(RenderCountingEnv(terminate_at=2), repeat=4)
+        env.reset()
+        obs, reward, done, trunc, _ = env.step(np.zeros(1, np.float32))
+        assert done and reward == 2.0
+        assert obs[0, 0, 0] == 2, "terminal obs must show the terminal frame"
+        assert env.unwrapped.renders == 2  # reset + terminal re-render only
+
+        # No termination: exactly one render per agent step, of the last frame.
+        env = RenderSkippingActionRepeat(RenderCountingEnv(terminate_at=100), repeat=4)
+        env.reset()
+        obs, reward, done, trunc, _ = env.step(np.zeros(1, np.float32))
+        assert not done and reward == 4.0
+        assert obs[0, 0, 0] == 4
+        assert env.unwrapped.renders == 2  # reset + final frame only
+
 
 class TestEnvFarm:
     def test_lockstep_and_autoreset(self):

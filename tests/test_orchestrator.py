@@ -101,6 +101,40 @@ class TestBatchedEval:
         assert np.isfinite(r)
 
 
+class TestWeightBroadcast:
+    """The learner->actor weight broadcast rides one flattened device buffer
+    (per-leaf device_put costs a device round-trip per leaf over a remote-chip
+    tunnel).  The flatten/unflatten pair must reconstruct the param tree."""
+
+    def test_flat_broadcast_roundtrip_f32(self, tmp_path):
+        d = Dreamer(smoke_cfg(tmp_path, **{"runtime.rollout_device": "cpu"}))
+        params = (d.state.wm.params, d.state.ac.actor_params)
+        flatten, unflatten = d._make_broadcast_fns(params)
+        out = unflatten(np.asarray(flatten(params)))
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), params, out)
+
+    def test_flat_broadcast_roundtrip_bf16(self, tmp_path):
+        d = Dreamer(smoke_cfg(tmp_path, **{
+            "runtime.rollout_device": "cpu",
+            "runtime.broadcast_dtype": "bfloat16"}))
+        params = (d.state.wm.params, d.state.ac.actor_params)
+        flatten, unflatten = d._make_broadcast_fns(params)
+        out = unflatten(np.asarray(flatten(params)))
+        # bf16 wire dtype: values land back in f32 within bf16 rounding.
+        def close(a, b):
+            assert b.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=8e-3, atol=8e-3)
+        jax.tree.map(close, params, out)
+
+    def test_rng_key_is_host_committed(self, tmp_path):
+        d = Dreamer(smoke_cfg(tmp_path))
+        cpu = jax.devices("cpu")[0]
+        assert cpu in d.rng.devices()
+        assert cpu in d._next_key().devices()
+
+
 class TestDeterminism:
     def test_same_seed_same_metrics(self, tmp_path):
         cfg1 = smoke_cfg(tmp_path / "a")
