@@ -134,6 +134,13 @@ class RuntimeConfig:
     broadcast_dtype: str = "float32"
     debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
     async_checkpoint: bool = False        # overlap checkpoint writes with training
+    # Include the replay rings in periodic checkpoints.  True gives exact
+    # resume (the reference loses its buffer on every restart); False keeps
+    # checkpoints to params+optimizer state — on resume the train loop
+    # re-primes the buffer with fresh rollouts before updating.  Turn off when
+    # the buffer is huge and the chip is remote (a 2.3 GB uint8 ring takes
+    # ~13 min per save over a tunnel).
+    checkpoint_replay: bool = True
     # Overlap env stepping with the learner update (one-round staleness:
     # rollout i+1 collects under params from iteration i).  Requires
     # rollout_device="cpu" so the actor never reads donated learner buffers.

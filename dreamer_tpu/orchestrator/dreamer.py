@@ -368,14 +368,16 @@ class Dreamer:
     # ------------------------------------------------------------------ #
 
     def _checkpoint_tree(self):
-        return {
+        tree = {
             "state": self.state,
-            "buffer": self.buf,
             "rng": self.rng,
             "iteration": jnp.asarray(self.iteration, jnp.int32),
             "env_seed": jnp.asarray(self.farm.seed, jnp.int32),
             "eval_seed": jnp.asarray(self._eval_seed, jnp.int32),
         }
+        if self.cfg.runtime.checkpoint_replay:
+            tree["buffer"] = self.buf
+        return tree
 
     def save_checkpoint(self):
         return self.ckpt.save(self.iteration, self._checkpoint_tree())
@@ -415,7 +417,10 @@ class Dreamer:
             return False
         _, tree = result
         self.state = tree["state"]
-        self.buf = tree["buffer"]
+        if "buffer" in tree:
+            self.buf = tree["buffer"]
+        # else: checkpoint_replay=False — keep the fresh buffer; train()'s
+        # priming loop refills it before the next gradient step.
         self.rng = jax.device_put(tree["rng"], self._cpu_device)
         self.iteration = int(tree["iteration"])
         self.farm.seed = int(tree["env_seed"])

@@ -85,6 +85,28 @@ class TestCheckpoint:
         d = Dreamer(smoke_cfg(tmp_path))
         assert not d.restore_latest()
 
+    def test_checkpoint_without_replay(self, tmp_path):
+        """runtime.checkpoint_replay=False: params/opt/counters round-trip,
+        the replay ring is excluded, and the resumed trainer re-primes it."""
+        cfg_kw = {"runtime.checkpoint_replay": "false"}
+        d = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        d.rollout_policy(random_policy=True)
+        d.state, _ = d.trainer.wm_step(d.state, d.buf, jax.random.PRNGKey(0))
+        d.iteration = 2
+        d.save_checkpoint()
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        assert d2.restore_latest()
+        assert d2.iteration == 2
+        assert int(d2.buf.size) == 0  # fresh ring, not restored
+        same = jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)),
+                            d.state.wm.params, d2.state.wm.params)
+        assert all(jax.tree.leaves(same))
+        # train() primes the fresh buffer and continues to completion (the
+        # smoke config stops at training_iterations=4).
+        d2.train(resume=False, progress=False)
+        assert d2.iteration == d2.cfg.train.training_iterations
+
 
 class TestBatchedEval:
     def test_batched_matches_sequential_episode_count(self, tmp_path):
