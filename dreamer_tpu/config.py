@@ -133,6 +133,17 @@ class RuntimeConfig:
     # f32, on bf16-rounded weights.  Default keeps full-precision parity.
     broadcast_dtype: str = "float32"
     debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
+    # lax.scan unroll factor for the RSSM time scans (observe/warm-start/
+    # imagine).  The scan steps are small (B=50 rows), so per-step while-loop
+    # overhead dominates their runtime; unrolling lets XLA fuse across steps.
+    # A/B on v5e (tools/ab_fused.py): 5 ≈ 10 > 2 > 1; 5 keeps compiles fast.
+    scan_unroll: int = 5
+    # Deferred-weight-gradient custom-VJP time scans (ops/fused_scans.py):
+    # identical math and RNG stream, but every weight gradient becomes one
+    # (T*B)-batched MXU contraction after the backward scan instead of a
+    # per-step f32 accumulator in the loop carry (the hottest op in the
+    # profile — see PERFORMANCE.md).  Ignored when use_pallas_gru is set.
+    fused_scan_grads: bool = True
     async_checkpoint: bool = False        # overlap checkpoint writes with training
     # Include the replay rings in periodic checkpoints.  True gives exact
     # resume (the reference loses its buffer on every restart); False keeps

@@ -59,9 +59,18 @@ class RSSM:
 
     def __init__(self, cfg: WorldModelConfig, action_dim: int = 3,
                  dtype: Any = jnp.float32, use_pallas_gru: bool = False,
-                 remat: bool = False):
+                 remat: bool = False, scan_unroll: int = 1,
+                 fused_scan_grads: bool = False):
         self.cfg = cfg
         self.action_dim = action_dim
+        self.scan_unroll = scan_unroll
+        self.dtype = dtype
+        # Deferred-weight-gradient custom-VJP scans (ops/fused_scans.py):
+        # same math + same RNG stream, but the backward pass computes every
+        # weight gradient as one (T*B)-batched MXU contraction instead of
+        # per-step accumulators in the scan carry.  Mutually exclusive with
+        # the Pallas GRU cell (the fused path has its own raw-jnp GRU).
+        self.fused_scan_grads = fused_scan_grads and not use_pallas_gru
         self.nets = WMNets(cfg, dtype=dtype, use_pallas_gru=use_pallas_gru)
         self.buckets = bucket_values(cfg.reward_buckets)
         if remat:
@@ -188,6 +197,24 @@ class RSSM:
         h0, z0 = self.initial_state(B)
         keys = jax.random.split(key, T)
 
+        if self.fused_scan_grads:
+            from dreamer_tpu.ops.fused_scans import _ObserveCfg, observe_scan
+
+            c = self.cfg
+            # Identical draws to jax.random.categorical(keys[t], log probs).
+            gum = jax.vmap(lambda k: jax.random.gumbel(
+                k, (B, c.latent_rows, c.latent_classes), jnp.float32))(keys)
+            ocfg = _ObserveCfg(unimix=c.unimix, latent_dim=c.latent_dim,
+                               rows=c.latent_rows, classes=c.latent_classes,
+                               dtype=self.dtype, unroll=self.scan_unroll)
+            sub = {"gru": params["gru"], "post": params["posterior_head"]}
+            h_seq, z_seq, logit_seq = observe_scan(
+                ocfg, sub, h0, z0, feats.swapaxes(0, 1),
+                a_in.swapaxes(0, 1), gum)
+            return ObservedSequence(h=h_seq.swapaxes(0, 1),
+                                    z=z_seq.swapaxes(0, 1),
+                                    post_logits=logit_seq.swapaxes(0, 1))
+
         def step(carry, xs):
             h, z = carry
             feat_t, a_t, k_t = xs
@@ -197,7 +224,8 @@ class RSSM:
             return (h_next, z_next), (h_next, z_next, logits)
 
         xs = (feats.swapaxes(0, 1), a_in.swapaxes(0, 1), keys)
-        _, (h_seq, z_seq, logit_seq) = jax.lax.scan(step, (h0, z0), xs)
+        _, (h_seq, z_seq, logit_seq) = jax.lax.scan(step, (h0, z0), xs,
+                                                    unroll=self.scan_unroll)
         return ObservedSequence(
             h=h_seq.swapaxes(0, 1),
             z=z_seq.swapaxes(0, 1),
@@ -230,7 +258,8 @@ class RSSM:
             return (h_next, z_next), None
 
         xs = (feats[:, 1:].swapaxes(0, 1), actions[:, : Tw - 1].swapaxes(0, 1), keys)
-        (h_fin, z_fin), _ = jax.lax.scan(step, (h0, z0), xs)
+        (h_fin, z_fin), _ = jax.lax.scan(step, (h0, z0), xs,
+                                         unroll=self.scan_unroll)
         return z_fin, h_fin
 
     def imagine(self, params, actor_fn: Callable, z0: jnp.ndarray, h0: jnp.ndarray,
@@ -246,6 +275,11 @@ class RSSM:
         """
         keys = jax.random.split(key, horizon)
 
+        if self.fused_scan_grads and getattr(actor_fn, "actor_params", None) is not None:
+            traj = self._imagine_fused(params, actor_fn.actor_params, z0, h0,
+                                       horizon, keys)
+            return traj
+
         def step(carry, k_t):
             h, z = carry
             k_act, k_lat = jax.random.split(k_t)
@@ -257,7 +291,7 @@ class RSSM:
             return (h_next, z_next), (h, z, action, mu, sigma)
 
         (h_fin, z_fin), (h_seq, z_seq, a_seq, mu_seq, sig_seq) = jax.lax.scan(
-            step, (h0, z0), keys)
+            step, (h0, z0), keys, unroll=self.scan_unroll)
 
         # (H, B, ...) -> (B, H, ...); append the final state -> H+1 states.
         h_all = jnp.concatenate([h_seq.swapaxes(0, 1), h_fin[:, None]], axis=1)
@@ -273,6 +307,46 @@ class RSSM:
             action=a_seq.swapaxes(0, 1),
             reward=reward,
             cont=cont,
+            mu=mu_seq.swapaxes(0, 1),
+            sigma=sig_seq.swapaxes(0, 1),
+        )
+
+    def _imagine_fused(self, params, actor_params, z0, h0, horizon: int,
+                       keys) -> ImaginedTrajectory:
+        """Deferred-weight-gradient imagination (ops/fused_scans.imagine_scan).
+
+        Reproduces the non-fused scan's RNG stream exactly: per step
+        k_act, k_lat = split(keys[t]); eps = normal(k_act); the categorical
+        draw is argmax(log probs + gumbel(k_lat)) — identical to
+        jax.random.categorical(k_lat, log probs).
+        """
+        from dreamer_tpu.ops.fused_scans import _ImagineCfg, imagine_scan
+
+        c = self.cfg
+        B = h0.shape[0]
+        pairs = jax.vmap(jax.random.split)(keys)           # (H, 2) keys
+        eps = jax.vmap(lambda k: jax.random.normal(
+            k, (B, self.action_dim), jnp.float32))(pairs[:, 0])
+        gum = jax.vmap(lambda k: jax.random.gumbel(
+            k, (B, c.latent_rows, c.latent_classes), jnp.float32))(pairs[:, 1])
+
+        icfg = _ImagineCfg(horizon=horizon, unimix=c.unimix,
+                           latent_dim=c.latent_dim, rows=c.latent_rows,
+                           classes=c.latent_classes, dtype=self.dtype,
+                           unroll=self.scan_unroll)
+        sub = {"gru": params["gru"], "dyn": params["dyn_head"],
+               "actor": actor_params}
+        h_fin, z_fin, h_seq, z_seq, a_seq, mu_seq, sig_seq = imagine_scan(
+            icfg, sub, h0, z0, eps, gum)
+
+        h_all = jnp.concatenate([h_seq.swapaxes(0, 1), h_fin[:, None]], axis=1)
+        z_all = jnp.concatenate([z_seq.swapaxes(0, 1), z_fin[:, None]], axis=1)
+        reward = self.reward_pred(params, h_all[:, 1:], z_all[:, 1:])
+        cont = self.cont_pred(params, h_all[:, 1:], z_all[:, 1:])
+        return ImaginedTrajectory(
+            h=h_all, z=z_all,
+            action=a_seq.swapaxes(0, 1),
+            reward=reward, cont=cont,
             mu=mu_seq.swapaxes(0, 1),
             sigma=sig_seq.swapaxes(0, 1),
         )

@@ -84,7 +84,11 @@ class AgentTrainer:
         return actor_params, critic_params
 
     def actor_fn(self, params):
-        return lambda h, z: self.actor.apply({"params": params}, h, z)
+        fn = lambda h, z: self.actor.apply({"params": params}, h, z)
+        # Expose the raw param tree so RSSM.imagine can route through the
+        # deferred-weight-gradient fused scan (rssm._imagine_fused).
+        fn.actor_params = params
+        return fn
 
     def critic_value(self, params, h, z):
         """symexp(E[twohot]) value (Agent.py:237-241), (..., 1) squeezed."""
@@ -109,8 +113,10 @@ class AgentTrainer:
         H = cfg.train.horizon
         k_warm, k_dream = jax.random.split(key)
 
-        obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5
-        z0, h0 = rssm.warm_start(wm_params, obs[:, :Tw], actions[:, :Tw], k_warm)
+        # Slice to the warmup window BEFORE normalizing (only Tw of T steps
+        # are consumed; see the same pattern in world_model.wm_loss).
+        obs = obs_u8[:, :Tw].astype(jnp.float32) / 255.0 - 0.5
+        z0, h0 = rssm.warm_start(wm_params, obs, actions[:, :Tw], k_warm)
         # The dream differentiates w.r.t. the actor only; the warm start is
         # actor-independent, stop its (unused) graph explicitly for clarity.
         z0, h0 = sg(z0), sg(h0)

@@ -37,7 +37,9 @@ class Trainer:
         dtype = jnp.dtype(cfg.runtime.compute_dtype)
         self.rssm = RSSM(cfg.wm, action_dim=cfg.env.action_dim, dtype=dtype,
                          use_pallas_gru=cfg.runtime.use_pallas_gru,
-                         remat=cfg.runtime.remat_decoder)
+                         remat=cfg.runtime.remat_decoder,
+                         scan_unroll=cfg.runtime.scan_unroll,
+                         fused_scan_grads=cfg.runtime.fused_scan_grads)
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
                                    cfg.env.action_dim, cfg.wm.obs_size,
