@@ -294,10 +294,11 @@ def _imagine_bwd(cfg, res, cots):
         (dc, dtaps) = pullback(cot)
         return dc, (dtaps, acts)
 
+    # reverse=True walks xs back-to-front in place — no flipped copies of the
+    # nine stacked arrays (materialized %reverse ops in the profile).
     xs = (h_seq, z_seq, eps, gum, d_hseq, d_zseq, d_aseq, d_museq, d_sigseq)
-    xs = jax.tree.map(lambda a: jnp.flip(a, axis=0), xs)
     (dh0, dz0), (dtaps, acts) = jax.lax.scan(
-        bwd_step, (d_hfin, d_zfin), xs, unroll=cfg.unroll)
+        bwd_step, (d_hfin, d_zfin), xs, unroll=cfg.unroll, reverse=True)
 
     dactor = _mlp_like_actor_grads(params["actor"], acts, dtaps)
     ddyn = _mlp_grads(params["dyn"], cfg.n_dyn_hidden, "d.", acts, dtaps)
@@ -430,12 +431,12 @@ def _observe_bwd(cfg, res, cots):
         (dc, dfeat, dtaps) = pullback(cot)
         return dc, (dtaps, acts, dfeat)
 
+    # reverse=True: xs consumed back-to-front with no flipped copies, and the
+    # stacked ys (incl. dfeats) come out in natural time order.
     xs = (h_prev, z_prev, feats, a_in, gum, d_hseq, d_zseq, d_logitseq)
-    xs = jax.tree.map(lambda a: jnp.flip(a, axis=0), xs)
-    (dh0, dz0), (dtaps, acts, dfeats_rev) = jax.lax.scan(
+    (dh0, dz0), (dtaps, acts, dfeats) = jax.lax.scan(
         bwd_step, (jnp.zeros_like(h0), jnp.zeros_like(z0)), xs,
-        unroll=cfg.unroll)
-    dfeats = jnp.flip(dfeats_rev, axis=0)
+        unroll=cfg.unroll, reverse=True)
 
     dpost = _mlp_grads(params["post"], cfg.n_post_hidden, "p.", acts, dtaps)
     dgru = {

@@ -111,7 +111,15 @@ class ReplayBuffer:
         """
         return self._sample(state, key, batch_size)
 
-    def _sample_impl(self, state: ReplayState, key: jax.Array, batch_size: int):
+    def _sample_impl(self, state: ReplayState, key: jax.Array, batch_size: int,
+                     t_out: int | None = None, with_scalars: bool = True):
+        """``t_out`` (static) gathers only the first t_out of the T-step
+        window; ``with_scalars=False`` skips the reward/cont gathers.  The
+        start distribution and RNG stream are IDENTICAL for every (t_out,
+        with_scalars): valid_starts/collision logic always use the full
+        sequence_length, so a consumer that needs fewer steps (WM horizon 30,
+        AC warmup 25 of T=50) gathers 40-50% fewer obs bytes for bit-equal
+        training batches."""
         T = self.sequence_length
         valid_starts = jnp.maximum(state.size - T + 1, 1)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -123,8 +131,11 @@ class ReplayBuffer:
         collide = (starts < state.next_idx) & (state.next_idx < starts + T)
         reroll = jax.random.randint(k3, (batch_size,), 0, valid_starts)
         starts = jnp.where(full & collide, reroll, starts)
-        idx = (starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]) % self.capacity
+        Tg = T if t_out is None else t_out
+        idx = (starts[:, None] + jnp.arange(Tg, dtype=jnp.int32)[None, :]) % self.capacity
         e = env_idx[:, None]
+        if not with_scalars:
+            return state.obs[e, idx], state.action[e, idx]
         return (
             state.obs[e, idx],
             state.action[e, idx],

@@ -114,8 +114,9 @@ class AgentTrainer:
         k_warm, k_dream = jax.random.split(key)
 
         # Slice to the warmup window BEFORE normalizing (only Tw of T steps
-        # are consumed; see the same pattern in world_model.wm_loss).
-        obs = obs_u8[:, :Tw].astype(jnp.float32) / 255.0 - 0.5
+        # are consumed) and normalize straight into the compute dtype — the
+        # encoder is the only consumer (see the same pattern in wm_loss).
+        obs = obs_u8[:, :Tw].astype(rssm.dtype) / 255.0 - 0.5
         z0, h0 = rssm.warm_start(wm_params, obs, actions[:, :Tw], k_warm)
         # The dream differentiates w.r.t. the actor only; the warm start is
         # actor-independent, stop its (unused) graph explicitly for clarity.
@@ -165,7 +166,7 @@ class AgentTrainer:
                   critic_opt: optax.GradientTransformation,
                   state: ACTrainState, wm_params: Any, rssm: RSSM,
                   batch, key: jax.Array) -> Tuple[ACTrainState, Dict[str, jnp.ndarray]]:
-        obs, actions, _, _ = batch
+        obs, actions = batch[0], batch[1]   # rewards/conts unused (dreamed)
         ac_params = {"actor": state.actor_params, "critic": state.critic_params}
 
         def loss_fn(p):

@@ -107,8 +107,11 @@ class Trainer:
         """WM_epochs gradient steps, each on a fresh sample (Dreamer.py:228-242)."""
         def epoch(wm_state, k):
             k_s, k_u = jax.random.split(k)
+            # Gather only the horizon window — same starts/RNG, 40% fewer
+            # obs bytes (the loss uses steps [:horizon], WorldModel.py:156-160).
             batch = self._constrain(
-                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size))
+                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size,
+                                         t_out=self.cfg.train.horizon))
             new_state, metrics = wm_update(self.rssm, self.wm_opt, wm_state, batch, k_u, self.cfg)
             return new_state, metrics
 
@@ -122,8 +125,13 @@ class Trainer:
         """AC_epochs fused dream+update steps (Dreamer.py:264-287)."""
         def epoch(ac_state, k):
             k_s, k_u = jax.random.split(k)
+            # The AC update consumes only the warm-start window (obs/actions
+            # [:T//2], Dreamer.py:254) and never reads rewards/conts (the
+            # dream generates its own) — gather just that.
             batch = self._constrain(
-                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size))
+                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size,
+                                         t_out=self.cfg.train.sequence_length // 2,
+                                         with_scalars=False))
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
                 self.rssm, batch, k_u)

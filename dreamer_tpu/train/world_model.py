@@ -60,8 +60,15 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
     w = cfg.wm
     H = cfg.train.horizon
 
-    # --- likelihoods (all f32) -------------------------------------- #
-    obs_sse = jnp.sum(jnp.square(dec_mu.astype(jnp.float32) - obs),
+    # --- likelihoods (reduced in f32) -------------------------------- #
+    # The pixel error is taken in the COMPUTE dtype (obs arrives already in
+    # it): under f32 this is the reference math exactly; under bf16 it lets
+    # XLA fuse subtract+square+reduce into the decoder's conv layout instead
+    # of materialising a transposed f32 copy of the (B*H, h, w, 3) recon
+    # (%copy.3334, 0.26 ms/update).  obs is bf16-rounded (≤ half an 8-bit
+    # pixel step) — the same tier of rounding the bf16 decoder output has.
+    err = dec_mu - obs.astype(dec_mu.dtype)
+    obs_sse = jnp.sum(jnp.square(err.astype(jnp.float32)),
                       axis=(-3, -2, -1))                     # (B, H)
     obs_log_lh = -obs_sse[:, 1:]                             # steps 1..H-1
 
@@ -116,10 +123,13 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     (WorldModel.py:156-160).
     """
     H = cfg.train.horizon
-    # Slice to the horizon BEFORE the u8->f32 normalize: otherwise XLA
-    # materialises the normalized full (B, T) sequence and discards 40% of it
-    # (measured 0.76 ms/update on a (50,50) batch — tools/xprof_summary.py).
-    obs = obs_u8[:, :H].astype(jnp.float32) / 255.0 - 0.5
+    # Slice to the horizon BEFORE normalizing: otherwise XLA materialises the
+    # normalized full (B, T) sequence and discards 40% of it (measured
+    # 0.76 ms/update on a (50,50) batch — tools/xprof_summary.py).  Normalize
+    # straight into the COMPUTE dtype: both consumers (encoder, recon-loss
+    # target) take it, and the f32 (B, H, h, w, 3) intermediate costs
+    # ~0.3 ms/update of pure HBM traffic under bf16.
+    obs = obs_u8[:, :H].astype(rssm.dtype) / 255.0 - 0.5
     actions = actions[:, :H]
     rewards, conts = rewards[:, :H], conts[:, :H]
 
