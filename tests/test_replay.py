@@ -113,3 +113,40 @@ class TestSample:
         starts = np.array(starts)
         assert starts.min() >= 0 and starts.max() <= 36  # valid_starts = 40-4+1
         assert starts.std() > 5  # spread over the range
+
+
+class TestWindowedSample:
+    """_sample_impl(t_out, with_scalars) must be a pure PREFIX of the full
+    sample under the same key — identical start distribution and RNG stream
+    (the learner relies on this for bit-equal batches after the windowed-
+    gather optimization)."""
+
+    def test_t_out_is_prefix_of_full_sample(self):
+        buf = make_buffer(capacity=32, T=8)
+        state = add_n(buf, buf.init_state(), 20)
+        key = jax.random.PRNGKey(3)
+        full = buf._sample_impl(state, key, 6)
+        win = buf._sample_impl(state, key, 6, t_out=5)
+        for a, b in zip(full, win):
+            np.testing.assert_array_equal(np.asarray(a[:, :5]), np.asarray(b))
+
+    def test_with_scalars_false_matches(self):
+        buf = make_buffer(capacity=32, T=8)
+        state = add_n(buf, buf.init_state(), 20)
+        key = jax.random.PRNGKey(4)
+        full = buf._sample_impl(state, key, 6)
+        ow, aw = buf._sample_impl(state, key, 6, t_out=4, with_scalars=False)
+        np.testing.assert_array_equal(np.asarray(full[0][:, :4]), np.asarray(ow))
+        np.testing.assert_array_equal(np.asarray(full[1][:, :4]), np.asarray(aw))
+
+    def test_windowed_reroll_consistent_when_full(self):
+        """Head-collision re-roll must use the FULL sequence_length even for
+        narrow windows, so the start distribution never depends on t_out."""
+        buf = make_buffer(capacity=16, T=8)
+        state = add_n(buf, buf.init_state(), 24)  # wrapped: head mid-ring
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            full = buf._sample_impl(state, key, 8)
+            win = buf._sample_impl(state, key, 8, t_out=3)
+            np.testing.assert_array_equal(np.asarray(full[2][:, :3]),
+                                          np.asarray(win[2]))
