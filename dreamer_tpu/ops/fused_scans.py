@@ -42,7 +42,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from dreamer_tpu.core.dists import actor_mu_sigma
+from dreamer_tpu.core.dists import actor_mu_sigma, unimix_probs
 
 f32 = jnp.float32
 
@@ -117,12 +117,6 @@ def _mlp(p: Dict[str, Any], x: jnp.ndarray, n_hidden: int, prefix: str,
     if acts is not None:
         acts[prefix + f"Dense_{n_hidden}"] = x
     return _dense(p[f"Dense_{n_hidden}"], x, t(f"Dense_{n_hidden}"))
-
-
-def _unimix_probs_f32(logits: jnp.ndarray, unimix: float) -> jnp.ndarray:
-    probs = jax.nn.softmax(logits.astype(f32), axis=-1)
-    k = logits.shape[-1]
-    return (1.0 - unimix) * probs + unimix / k
 
 
 def _sample_ste(probs: jnp.ndarray, gumbel: jnp.ndarray) -> jnp.ndarray:
@@ -209,8 +203,7 @@ def _imagine_step(params, cfg: _ImagineCfg, carry, eps, gum, taps, want_acts):
         acts["a.LayerNorm_1"] = a2pre
     a2 = jax.nn.silu(_layernorm(ap["LayerNorm_1"], a2pre, t("a.LayerNorm_1")))
     if acts is not None:
-        acts["a.mu_head"] = a2
-        acts["a.log_sig_head"] = a2
+        acts["a.head_in"] = a2   # shared input of mu_head AND log_sig_head
     mu_raw = _dense(ap["mu_head"], a2, t("a.mu_head")).astype(f32)
     sig_raw = _dense(ap["log_sig_head"], a2, t("a.log_sig_head")).astype(f32)
     mu, sigma = actor_mu_sigma(mu_raw, sig_raw)
@@ -229,7 +222,7 @@ def _imagine_step(params, cfg: _ImagineCfg, carry, eps, gum, taps, want_acts):
     # Prior head (WMNets.prior_logits = dyn MLP on h'), then unimix STE sample.
     logits = _mlp(dp, h_next.astype(cfg.dtype), cfg.n_dyn_hidden, "d.", taps, acts)
     logits = logits.reshape(logits.shape[:-1] + (cfg.rows, cfg.classes))
-    probs = _unimix_probs_f32(logits, cfg.unimix)
+    probs = unimix_probs(logits, cfg.unimix)
     z_next = _sample_ste(probs, gum).reshape(z.shape[:-1] + (cfg.latent_dim,))
 
     return (h_next, z_next), (h, z, action, mu, sigma), acts
@@ -300,7 +293,7 @@ def _imagine_bwd(cfg, res, cots):
     (dh0, dz0), (dtaps, acts) = jax.lax.scan(
         bwd_step, (d_hfin, d_zfin), xs, unroll=cfg.unroll, reverse=True)
 
-    dactor = _mlp_like_actor_grads(params["actor"], acts, dtaps)
+    dactor = _actor_grads(params["actor"], acts, dtaps)
     ddyn = _mlp_grads(params["dyn"], cfg.n_dyn_hidden, "d.", acts, dtaps)
     dgru = {
         "kernel_i": jnp.einsum("tbi,tbo->io", acts["g.i"],
@@ -316,15 +309,18 @@ def _imagine_bwd(cfg, res, cots):
     return (dparams, dh0, dz0, jnp.zeros_like(eps), jnp.zeros_like(gum))
 
 
-def _mlp_like_actor_grads(ap, acts, dtaps):
+def _actor_grads(ap, acts, dtaps):
+    """Actor trunk = the standard MLP trunk (reuse _mlp_grads' per-layer
+    assembly) + the two heads, whose shared input activation is stored ONCE
+    ('a.head_in') and contracted against each head's dtaps."""
     out = {}
     for i in range(2):
         out[f"Dense_{i}"] = _dense_grads(acts[f"a.Dense_{i}"], dtaps[f"a.Dense_{i}"])
         out[f"LayerNorm_{i}"] = _ln_grads(acts[f"a.LayerNorm_{i}"],
                                           ap[f"LayerNorm_{i}"],
                                           dtaps[f"a.LayerNorm_{i}"])
-    out["mu_head"] = _dense_grads(acts["a.mu_head"], dtaps["a.mu_head"])
-    out["log_sig_head"] = _dense_grads(acts["a.log_sig_head"], dtaps["a.log_sig_head"])
+    out["mu_head"] = _dense_grads(acts["a.head_in"], dtaps["a.mu_head"])
+    out["log_sig_head"] = _dense_grads(acts["a.head_in"], dtaps["a.log_sig_head"])
     return out
 
 
@@ -368,7 +364,7 @@ def _observe_step(params, cfg: _ObserveCfg, carry, feat, a_prev, gum, taps, want
     xp = jnp.concatenate([feat, h_next.astype(cfg.dtype)], axis=-1)
     logits = _mlp(pp, xp, cfg.n_post_hidden, "p.", taps, acts)
     logits = logits.reshape(logits.shape[:-1] + (cfg.rows, cfg.classes))
-    probs = _unimix_probs_f32(logits, cfg.unimix)
+    probs = unimix_probs(logits, cfg.unimix)
     z_next = _sample_ste(probs, gum).reshape(z.shape[:-1] + (cfg.latent_dim,))
 
     return (h_next, z_next), (h_next, z_next, logits), acts

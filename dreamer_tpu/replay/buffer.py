@@ -121,6 +121,10 @@ class ReplayBuffer:
         AC warmup 25 of T=50) gathers 40-50% fewer obs bytes for bit-equal
         training batches."""
         T = self.sequence_length
+        assert t_out is None or 0 < t_out <= T, (
+            f"t_out={t_out} must lie in (0, sequence_length={T}]: the start "
+            "distribution/collision re-roll only guarantee validity of the "
+            "first T steps of each window")
         valid_starts = jnp.maximum(state.size - T + 1, 1)
         k1, k2, k3 = jax.random.split(key, 3)
         env_idx = jax.random.randint(k1, (batch_size,), 0, self.num_envs)

@@ -292,15 +292,18 @@ class RSSM:
 
         (h_fin, z_fin), (h_seq, z_seq, a_seq, mu_seq, sig_seq) = jax.lax.scan(
             step, (h0, z0), keys, unroll=self.scan_unroll)
+        return self._assemble_trajectory(params, h_fin, z_fin, h_seq, z_seq,
+                                         a_seq, mu_seq, sig_seq)
 
-        # (H, B, ...) -> (B, H, ...); append the final state -> H+1 states.
+    def _assemble_trajectory(self, params, h_fin, z_fin, h_seq, z_seq,
+                             a_seq, mu_seq, sig_seq) -> ImaginedTrajectory:
+        """Shared tail of both imagine paths: (H, B, ...) time-major scan
+        outputs -> batch-major trajectory with H+1 states and batched
+        reward/continue heads on states 1..H (reward[t] = pred at t+1)."""
         h_all = jnp.concatenate([h_seq.swapaxes(0, 1), h_fin[:, None]], axis=1)
         z_all = jnp.concatenate([z_seq.swapaxes(0, 1), z_fin[:, None]], axis=1)
-
-        # Heads on states 1..H in one batched call (reward[t] = pred at t+1).
         reward = self.reward_pred(params, h_all[:, 1:], z_all[:, 1:])
         cont = self.cont_pred(params, h_all[:, 1:], z_all[:, 1:])
-
         return ImaginedTrajectory(
             h=h_all,
             z=z_all,
@@ -338,15 +341,5 @@ class RSSM:
                "actor": actor_params}
         h_fin, z_fin, h_seq, z_seq, a_seq, mu_seq, sig_seq = imagine_scan(
             icfg, sub, h0, z0, eps, gum)
-
-        h_all = jnp.concatenate([h_seq.swapaxes(0, 1), h_fin[:, None]], axis=1)
-        z_all = jnp.concatenate([z_seq.swapaxes(0, 1), z_fin[:, None]], axis=1)
-        reward = self.reward_pred(params, h_all[:, 1:], z_all[:, 1:])
-        cont = self.cont_pred(params, h_all[:, 1:], z_all[:, 1:])
-        return ImaginedTrajectory(
-            h=h_all, z=z_all,
-            action=a_seq.swapaxes(0, 1),
-            reward=reward, cont=cont,
-            mu=mu_seq.swapaxes(0, 1),
-            sigma=sig_seq.swapaxes(0, 1),
-        )
+        return self._assemble_trajectory(params, h_fin, z_fin, h_seq, z_seq,
+                                         a_seq, mu_seq, sig_seq)

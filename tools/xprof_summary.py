@@ -11,10 +11,7 @@ Usage: python tools/xprof_summary.py [--iters 5] [--top 40]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
-import gzip
-import json
 import os
 import sys
 
@@ -22,29 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import jax
-import jax.numpy as jnp
 
 
 def trace_iterations(logdir: str, iters: int, unroll: int):
-    from dreamer_tpu.config import DreamerConfig
-    from dreamer_tpu.train import Trainer
+    from _bench_common import make_trainer_and_buf
 
-    cfg = DreamerConfig()
-    cfg = dataclasses.replace(
-        cfg,
-        train=dataclasses.replace(cfg.train, buffer_size=4096),
-        runtime=dataclasses.replace(cfg.runtime, scan_unroll=unroll))
-    trainer = Trainer(cfg, donate=True)
-    key = jax.random.PRNGKey(0)
-    state = trainer.init_state(key)
-    buf = trainer.buffer.init_state()
-    n = cfg.train.sequence_length + 14
-    obs = (jax.random.uniform(key, (1, n, 64, 64, 3)) * 255).astype(jnp.uint8)
-    buf = trainer.buffer.add_batch(
-        buf, obs,
-        jax.random.uniform(key, (1, n, 3), minval=-1, maxval=1),
-        jnp.sin(jnp.arange(n, dtype=jnp.float32))[None],
-        jnp.ones((1, n), jnp.float32))
+    trainer, state, buf, _ = make_trainer_and_buf(scan_unroll=unroll)
     state, m = trainer.train_iteration(state, buf, jax.random.PRNGKey(1))
     jax.block_until_ready(m)
 
