@@ -1,0 +1,86 @@
+"""Microbenchmark the conv towers (encoder / decoder) in isolation.
+
+The full-iteration profile attributes the bulk of WM-update time to the conv
+towers (PERFORMANCE.md).  This tool times them standalone at the flagship
+workload shapes (B*T = 1500 frames of 64x64x3) so a fused Pallas
+implementation can be A/B'd against the XLA lowering:
+
+  enc_fwd   : u8 obs -> normalize -> 4 convs -> flat features
+  enc_grad  : d(sum(features))/d(params)      [obs needs no input grad]
+  dec_fwd   : (h, z) -> upscaler MLP -> 4 deconvs -> tanh recon
+  dec_grad  : d(sum(recon))/d(params, h, z)
+
+Prints ms per call and achieved GB/s against the minimal-traffic estimate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from _bench_common import make_trainer_and_buf, time_fn
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=1500)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas conv kernels")
+    args = p.parse_args()
+
+    kw = {"use_pallas_conv": True} if args.pallas else {}
+    trainer, state, buf, cfg = make_trainer_and_buf(**kw)
+    rssm = trainer.rssm
+    params = state.wm.params
+    n = args.frames
+    h, w = cfg.wm.obs_size
+    key = jax.random.PRNGKey(0)
+    obs_u8 = (jax.random.uniform(key, (n, h, w, 3)) * 255).astype(jnp.uint8)
+    hid = jax.random.normal(key, (n, cfg.wm.hidden_dim), jnp.float32)
+    lat = jax.nn.one_hot(
+        jax.random.randint(key, (n, cfg.wm.latent_rows), 0, cfg.wm.latent_classes),
+        cfg.wm.latent_classes).reshape(n, -1)
+
+    @jax.jit
+    def enc_fwd(p, o):
+        o = o.astype(rssm.dtype) / 255.0 - 0.5
+        return rssm.encode_obs(p, o)
+
+    @jax.jit
+    def enc_grad(p, o):
+        def loss(p):
+            return jnp.sum(enc_fwd(p, o).astype(jnp.float32))
+        return jax.grad(loss)(p)
+
+    @jax.jit
+    def dec_fwd(p, hh, zz):
+        return rssm.decode(p, hh, zz)
+
+    @jax.jit
+    def dec_grad(p, hh, zz):
+        def loss(p, hh, zz):
+            return jnp.sum(dec_fwd(p, hh, zz).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(p, hh, zz)
+
+    out = {}
+    out["enc_fwd_ms"] = round(time_fn(enc_fwd, params, obs_u8, iters=args.iters), 3)
+    out["enc_grad_ms"] = round(time_fn(enc_grad, params, obs_u8, iters=args.iters), 3)
+    out["dec_fwd_ms"] = round(time_fn(dec_fwd, params, hid, lat, iters=args.iters), 3)
+    out["dec_grad_ms"] = round(time_fn(dec_grad, params, hid, lat, iters=args.iters), 3)
+
+    # Minimal HBM traffic (MB) if each tower ran as ONE fused VMEM-resident
+    # program: read inputs once + write outputs once.
+    mb = 1e-6
+    f = cfg.wm.encoder_filters_2 * 4 * (h // 16) * (w // 16)
+    out["enc_min_mb"] = round((n * h * w * 3 * 1 + n * f * 2) * mb, 1)
+    out["dec_min_mb"] = round(
+        (n * (cfg.wm.hidden_dim + cfg.wm.latent_dim) * 4 + n * h * w * 3 * 2) * mb, 1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
