@@ -26,6 +26,15 @@ result straight from VMEM.
 
 The grid walks blocks of frames; layer weights use constant index maps so
 they stay resident across grid steps.
+
+STATUS — experimental, interpret-mode only (kept for when Mosaic grows the
+needed lowerings; see PERFORMANCE.md "fused-Pallas investigation"): the
+compiled TPU path is blocked by current Mosaic limits — no strided slicing
+at value or ref level, 128-lane padding of small channel dims (C=3 costs
+42x VMEM), concat vpad-offset mismatches, and compile-time blowups on the
+16-tap dot accumulation.  XLA's native conv lowering measures at 50-65% of
+HBM bandwidth per op, so the unfused path is within ~2x of streaming
+roofline anyway.
 """
 
 from __future__ import annotations
