@@ -20,6 +20,7 @@ on episode end), matching Dreamer.py:139-141,177-226.
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -478,6 +479,8 @@ class Dreamer:
                 profiling = False
 
             train_iteration = self._sharded_iteration or self.trainer.train_iteration
+            t_iter = time.perf_counter()
+            phase_s = {}
             if executor is not None:
                 # Actor-learner overlap: the host-local (CPU) actor collects
                 # the next round while the TPU learner updates on data through
@@ -490,13 +493,27 @@ class Dreamer:
                 self._write_chunk(chunks)
             else:
                 roll_metrics = self.rollout_policy(random_policy=False)
+                phase_s["perf/rollout_s"] = time.perf_counter() - t_iter
+                t_learn = time.perf_counter()
                 self.state, step_metrics = train_iteration(
                     self.state, self.buf, self._learner_key())
             self.iteration += 1
             # ONE host transfer for the whole metrics dict (float() per scalar
             # would cost a device round-trip each — ~26 per iteration).
             step_metrics = jax.device_get(step_metrics)
-            self.metrics.log_iteration(self.iteration, {**roll_metrics, **step_metrics})
+            # Per-phase wall-clock throughput counters (SURVEY §5 tracing plan:
+            # env-steps/s and grad-updates/s, the BASELINE metrics).  device_get
+            # above blocks on the learner, so the timings cover real work; in
+            # async mode the phases overlap and only end-to-end rates apply.
+            dt = time.perf_counter() - t_iter
+            if executor is None:
+                phase_s["perf/learner_s"] = time.perf_counter() - t_learn
+            n_updates = self.cfg.train.wm_epochs + self.cfg.train.ac_epochs
+            n_steps = self.cfg.train.sequence_length * self.cfg.env.num_envs
+            phase_s["perf/env_steps_per_s"] = n_steps / dt
+            phase_s["perf/grad_updates_per_s"] = n_updates / dt
+            self.metrics.log_iteration(
+                self.iteration, {**roll_metrics, **step_metrics, **phase_s})
 
             if self.iteration % cfg.checkpoint_every == 0:
                 self.save_checkpoint()

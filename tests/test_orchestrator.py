@@ -55,6 +55,26 @@ class TestTrainLoop:
         assert set(data.files) == {"world_model_loss", "actor_loss", "critic_loss", "rewards"}
         assert data["world_model_loss"].shape[0] == 4
 
+    def test_throughput_counters_logged(self, tmp_path):
+        """SURVEY §5 tracing plan: per-phase wall-clock counters (env-steps/s,
+        grad-updates/s — the BASELINE metrics) land in the metrics CSV."""
+        import csv
+
+        d = Dreamer(smoke_cfg(tmp_path))
+        d.train(progress=False)
+        d.metrics.close()
+        with open(os.path.join(str(tmp_path), "logs", "metrics.csv")) as f:
+            rows = [r for r in csv.DictReader(f) if r.get("perf/env_steps_per_s")]
+        assert rows, "no perf counters logged"
+        r = rows[-1]
+        steps_per_iter = d.cfg.train.sequence_length * d.cfg.env.num_envs
+        updates_per_iter = d.cfg.train.wm_epochs + d.cfg.train.ac_epochs
+        ratio = (float(r["perf/env_steps_per_s"]) /
+                 float(r["perf/grad_updates_per_s"]))
+        assert ratio == pytest.approx(steps_per_iter / updates_per_iter)
+        assert float(r["perf/rollout_s"]) > 0
+        assert float(r["perf/learner_s"]) > 0
+
     def test_evaluate_agent(self, tmp_path):
         d = Dreamer(smoke_cfg(tmp_path))
         reward = d.evaluate_agent(2, max_steps=20)
