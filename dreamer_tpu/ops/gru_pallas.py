@@ -143,3 +143,94 @@ def _bwd(res, g):
 
 
 gru_cell_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Whole-scan GRU: one kernel over all T steps (grid-over-time)
+# --------------------------------------------------------------------------- #
+
+
+def _gru_scan_kernel(x_ref, h0_ref,
+                     wir_ref, wiz_ref, win_ref,
+                     whr_ref, whz_ref, whn_ref,
+                     bir_ref, biz_ref, bin_ref,
+                     bhr_ref, bhz_ref, bhn_ref,
+                     out_ref, r_ref, z_ref, n_ref, hn_ref,
+                     h_carry):
+    """One grid step = one timestep; the recurrent state lives in a VMEM
+    scratch that persists across grid steps (TPU grids run sequentially),
+    and the six gate weight blocks use constant index maps so they stay
+    VMEM-resident for the whole scan instead of being re-read from HBM
+    every step (the cost that makes per-step pallas_calls lose to XLA)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_carry[:] = h0_ref[:].astype(jnp.float32)
+
+    x = x_ref[0]
+    h = h_carry[:]
+    f32 = jnp.float32
+    gr = (jnp.dot(x, wir_ref[:], preferred_element_type=f32)
+          + jnp.dot(h, whr_ref[:], preferred_element_type=f32)
+          + bir_ref[:] + bhr_ref[:])
+    gz = (jnp.dot(x, wiz_ref[:], preferred_element_type=f32)
+          + jnp.dot(h, whz_ref[:], preferred_element_type=f32)
+          + biz_ref[:] + bhz_ref[:])
+    hn = jnp.dot(h, whn_ref[:], preferred_element_type=f32) + bhn_ref[:]
+    r = jax.nn.sigmoid(gr)
+    z = jax.nn.sigmoid(gz)
+    n = jnp.tanh(jnp.dot(x, win_ref[:], preferred_element_type=f32)
+                 + bin_ref[:] + r * hn)
+    out = (1.0 - z) * n + z * h
+    h_carry[:] = out
+    out_ref[0] = out
+    r_ref[0] = r
+    z_ref[0] = z
+    n_ref[0] = n
+    hn_ref[0] = hn
+
+
+def gru_scan_forward(xs, h0, wi, wh, bi, bh):
+    """All-T GRU unroll in ONE pallas_call (torch nn.GRUCell semantics per
+    step, SequenceModel.py:13-24).
+
+    xs: (T, B, I); h0: (B, H); wi: (I, 3H); wh: (H, 3H); bi/bh: (3H,).
+    Returns (h_seq (T, B, H) f32, residuals (r, z, n, hn) each (T, B, H) f32).
+    """
+    T, B, I = xs.shape
+    H = h0.shape[-1]
+    sub = 8 if xs.dtype == jnp.float32 else 16
+    Bp, Ip, Hp = _round_up(B, sub), _round_up(I, 128), _round_up(H, 128)
+
+    xp = jnp.pad(xs, ((0, 0), (0, Bp - B), (0, Ip - I)))
+    hp = _pad2(h0.astype(jnp.float32), Bp, Hp)
+    wirs = [_pad2(w, Ip, Hp) for w in _split_gates(wi, H)]
+    whrs = [_pad2(w, Hp, Hp) for w in _split_gates(wh, H)]
+    bis = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
+           (bi[:H], bi[H:2 * H], bi[2 * H:])]
+    bhs = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
+           (bh[:H], bh[H:2 * H], bh[2 * H:])]
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct((T, Bp, Hp), jnp.float32)
+                       for _ in range(5))
+    outs = pl.pallas_call(
+        _gru_scan_kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, Bp, Ip), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const2((Bp, Hp))]
+                 + [const2((Ip, Hp))] * 3 + [const2((Hp, Hp))] * 3
+                 + [const2((1, Hp))] * 6,
+        out_specs=tuple(seq_spec for _ in range(5)),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((Bp, Hp), jnp.float32)],
+    )(xp, hp, *wirs, *whrs, *bis, *bhs)
+    crop = lambda a: a[:, :B, :H]
+    h_seq, r, z, n, hn = (crop(o) for o in outs)
+    return h_seq, (r, z, n, hn)

@@ -79,3 +79,32 @@ class TestPallasGRU:
         g_p = jax.grad(lambda w: roll(gru_cell_pallas, w))(wi)
         g_c = jax.grad(lambda w: roll(gru_cell_core, w))(wi)
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_c), rtol=2e-4, atol=2e-5)
+
+
+class TestPallasGRUScan:
+    def test_whole_scan_matches_xla_scan(self, rng, interpret_mode):
+        """gru_scan_forward (ONE kernel over all T, grid-over-time, weights
+        VMEM-resident) computes exactly lax.scan over gru_cell_core."""
+        from dreamer_tpu.ops.gru_pallas import gru_scan_forward
+
+        T, B, I, H = 5, 10, 37, 29
+        ks = jax.random.split(rng, 6)
+        s = 1.0 / np.sqrt(H)
+        xs = jax.random.normal(ks[0], (T, B, I), jnp.float32)
+        h0 = jax.random.normal(ks[1], (B, H), jnp.float32)
+        wi = jax.random.uniform(ks[2], (I, 3 * H), jnp.float32, -s, s)
+        wh = jax.random.uniform(ks[3], (H, 3 * H), jnp.float32, -s, s)
+        bi = jax.random.uniform(ks[4], (3 * H,), jnp.float32, -s, s)
+        bh = jax.random.uniform(ks[5], (3 * H,), jnp.float32, -s, s)
+
+        def step(h, x):
+            h2 = gru_cell_core(x, h, wi, wh, bi, bh)
+            return h2, h2
+
+        _, ref = jax.lax.scan(step, h0, xs)
+        out, (r, z, n, hn) = gru_scan_forward(xs, h0, wi, wh, bi, bh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        for res in (r, z, n, hn):
+            assert res.shape == (T, B, H)
+            assert np.isfinite(np.asarray(res)).all()
