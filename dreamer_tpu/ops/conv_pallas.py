@@ -1,5 +1,6 @@
-"""Fused Pallas conv towers: the whole 4-layer encoder (and decoder) as ONE
-VMEM-resident kernel per direction.
+"""Fused Pallas conv tower: the whole 4-layer encoder forward as ONE
+VMEM-resident kernel (a decoder twin would follow the same scheme but is
+not implemented — see STATUS below for why neither currently compiles).
 
 Why: the learner is HBM-bandwidth-bound (PERFORMANCE.md roofline), and the
 XLA lowering of the conv towers streams every intermediate activation
@@ -71,7 +72,13 @@ def _conv_k4s2p1(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     n, h, wd, c = x.shape
     co = w.shape[-1]
     ho, wo = h // 2, wd // 2
-    p_ref[:] = jnp.zeros_like(p_ref)
+
+    # The interior is fully overwritten below and TPU scratch persists across
+    # (sequential) grid steps, so the zero border only needs writing once.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        p_ref[:] = jnp.zeros_like(p_ref)
+
     p_ref[:, 1:h + 1, 1:wd + 1, :] = x
     p6 = p_ref[:].reshape(n, ho + 1, 2, wo + 1, 2, c)
     taps = []

@@ -31,14 +31,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gru_kernel(x_ref, h_ref,
-                wir_ref, wiz_ref, win_ref,
-                whr_ref, whz_ref, whn_ref,
-                bir_ref, biz_ref, bin_ref,
-                bhr_ref, bhz_ref, bhn_ref,
-                out_ref, r_ref, z_ref, n_ref, hn_ref):
-    x = x_ref[:]
-    h = h_ref[:]
+def _gate_math(x, h,
+               wir_ref, wiz_ref, win_ref,
+               whr_ref, whz_ref, whn_ref,
+               bir_ref, biz_ref, bin_ref,
+               bhr_ref, bhz_ref, bhn_ref):
+    """Six gate matmuls + elementwise GRU update on VMEM values (shared by
+    the single-step and whole-scan kernels).  Returns f32 (out, r, z, n, hn)."""
     f32 = jnp.float32
     gr = (jnp.dot(x, wir_ref[:], preferred_element_type=f32)
           + jnp.dot(h, whr_ref[:], preferred_element_type=f32)
@@ -52,6 +51,18 @@ def _gru_kernel(x_ref, h_ref,
     n = jnp.tanh(jnp.dot(x, win_ref[:], preferred_element_type=f32)
                  + bin_ref[:] + r * hn)
     out = (1.0 - z) * n + z * h.astype(f32)
+    return out, r, z, n, hn
+
+
+def _gru_kernel(x_ref, h_ref,
+                wir_ref, wiz_ref, win_ref,
+                whr_ref, whz_ref, whn_ref,
+                bir_ref, biz_ref, bin_ref,
+                bhr_ref, bhz_ref, bhn_ref,
+                out_ref, r_ref, z_ref, n_ref, hn_ref):
+    out, r, z, n, hn = _gate_math(
+        x_ref[:], h_ref[:], wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+        whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref)
     out_ref[:] = out.astype(out_ref.dtype)
     r_ref[:] = r.astype(r_ref.dtype)
     z_ref[:] = z.astype(z_ref.dtype)
@@ -68,6 +79,19 @@ def _pad2(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
 
+def _pad_gate_params(wi, wh, bi, bh, H: int, Ip: int, Hp: int):
+    """Split fused (D, 3H) torch-order gate weights/biases into per-gate
+    blocks padded to tile-aligned (Ip/Hp, Hp) / (1, Hp) shapes (shared by
+    the single-step and whole-scan wrappers)."""
+    wirs = [_pad2(w, Ip, Hp) for w in _split_gates(wi, H)]
+    whrs = [_pad2(w, Hp, Hp) for w in _split_gates(wh, H)]
+    bis = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
+           (bi[:H], bi[H:2 * H], bi[2 * H:])]
+    bhs = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
+           (bh[:H], bh[H:2 * H], bh[2 * H:])]
+    return wirs, whrs, bis, bhs
+
+
 def _forward_padded(x, h, wi, wh, bi, bh):
     """Run the kernel on tile-aligned padded operands; returns unpadded
     (out, residual gate activations)."""
@@ -79,12 +103,7 @@ def _forward_padded(x, h, wi, wh, bi, bh):
 
     xp = _pad2(x, Bp, Ip)
     hp = _pad2(h, Bp, Hp)
-    wirs = [_pad2(w, Ip, Hp) for w in _split_gates(wi, H)]
-    whrs = [_pad2(w, Hp, Hp) for w in _split_gates(wh, H)]
-    bis = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
-           (bi[:H], bi[H:2 * H], bi[2 * H:])]
-    bhs = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
-           (bh[:H], bh[H:2 * H], bh[2 * H:])]
+    wirs, whrs, bis, bhs = _pad_gate_params(wi, wh, bi, bh, H, Ip, Hp)
 
     out_shapes = tuple(jax.ShapeDtypeStruct((Bp, Hp), jnp.float32) for _ in range(5))
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
@@ -168,21 +187,9 @@ def _gru_scan_kernel(x_ref, h0_ref,
     def _():
         h_carry[:] = h0_ref[:].astype(jnp.float32)
 
-    x = x_ref[0]
-    h = h_carry[:]
-    f32 = jnp.float32
-    gr = (jnp.dot(x, wir_ref[:], preferred_element_type=f32)
-          + jnp.dot(h, whr_ref[:], preferred_element_type=f32)
-          + bir_ref[:] + bhr_ref[:])
-    gz = (jnp.dot(x, wiz_ref[:], preferred_element_type=f32)
-          + jnp.dot(h, whz_ref[:], preferred_element_type=f32)
-          + biz_ref[:] + bhz_ref[:])
-    hn = jnp.dot(h, whn_ref[:], preferred_element_type=f32) + bhn_ref[:]
-    r = jax.nn.sigmoid(gr)
-    z = jax.nn.sigmoid(gz)
-    n = jnp.tanh(jnp.dot(x, win_ref[:], preferred_element_type=f32)
-                 + bin_ref[:] + r * hn)
-    out = (1.0 - z) * n + z * h
+    out, r, z, n, hn = _gate_math(
+        x_ref[0], h_carry[:], wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+        whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref)
     h_carry[:] = out
     out_ref[0] = out
     r_ref[0] = r
@@ -205,14 +212,8 @@ def gru_scan_forward(xs, h0, wi, wh, bi, bh):
 
     xp = jnp.pad(xs, ((0, 0), (0, Bp - B), (0, Ip - I)))
     hp = _pad2(h0.astype(jnp.float32), Bp, Hp)
-    wirs = [_pad2(w, Ip, Hp) for w in _split_gates(wi, H)]
-    whrs = [_pad2(w, Hp, Hp) for w in _split_gates(wh, H)]
-    bis = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
-           (bi[:H], bi[H:2 * H], bi[2 * H:])]
-    bhs = [jnp.pad(b, (0, Hp - H)).reshape(1, Hp) for b in
-           (bh[:H], bh[H:2 * H], bh[2 * H:])]
+    wirs, whrs, bis, bhs = _pad_gate_params(wi, wh, bi, bh, H, Ip, Hp)
 
-    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     seq_spec = pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),

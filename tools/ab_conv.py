@@ -2,8 +2,10 @@
 
 The full-iteration profile attributes the bulk of WM-update time to the conv
 towers (PERFORMANCE.md).  This tool times them standalone at the flagship
-workload shapes (B*T = 1500 frames of 64x64x3) so a fused Pallas
-implementation can be A/B'd against the XLA lowering:
+workload shapes (B*T = 1500 frames of 64x64x3).  CAUTION: wall-clock timing
+of chained async dispatches under-reports device time ~10x through the
+remote tunnel — use tools/xprof_summary.py for per-op truth; this tool is
+for quick relative comparisons only:
 
   enc_fwd   : u8 obs -> normalize -> 4 convs -> flat features
   enc_grad  : d(sum(features))/d(params)      [obs needs no input grad]
@@ -28,12 +30,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=1500)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas conv kernels")
     args = p.parse_args()
 
-    kw = {"use_pallas_conv": True} if args.pallas else {}
-    trainer, state, buf, cfg = make_trainer_and_buf(**kw)
+    # NOTE: the fused Pallas conv kernel (ops/conv_pallas.py) is interpret-
+    # mode only — Mosaic cannot compile it yet (PERFORMANCE.md) — so this
+    # tool times the XLA tower it would replace, not an A/B of the two.
+    trainer, state, buf, cfg = make_trainer_and_buf()
     rssm = trainer.rssm
     params = state.wm.params
     n = args.frames
