@@ -314,26 +314,40 @@ class Dreamer:
         h, z = t.policy_reset(wm_p, obs, self._rollout_key())
         totals = np.zeros(eval_episodes)
         alive = np.ones(eval_episodes, bool)
+        # Device rows <-> episodes.  Episodes end at different times; rather
+        # than keep stepping dead rows through the policy programs forever,
+        # the live rows are COMPACTED into power-of-two buckets as episodes
+        # finish (each bucket size compiles once; -1 rows are padding).
+        rows_ep = np.arange(eval_episodes)
         for _ in range(max_steps):
             action = t.policy_act(actor_p, h, z, self._rollout_key(),
                                   deterministic=True)
             action_np = np.asarray(action)
-            obs_list, rew = [], np.zeros(eval_episodes, np.float32)
-            for i, env in enumerate(farm.envs):
-                if not alive[i]:
-                    obs_list.append(obs[i])
+            obs_rows = np.empty((len(rows_ep),) + obs.shape[1:], np.uint8)
+            for r, ep in enumerate(rows_ep):
+                if ep < 0 or not alive[ep]:
+                    obs_rows[r] = obs[r]
                     continue
-                o, r, term, trunc, _ = env.step(action_np[i])
-                rew[i] = r
+                o, rwd, term, trunc, _ = farm.envs[ep].step(action_np[r])
+                totals[ep] += rwd
                 if term or trunc:
-                    alive[i] = False
-                obs_list.append(np.asarray(o, np.uint8))
-            totals += rew
+                    alive[ep] = False
+                obs_rows[r] = np.asarray(o, np.uint8)
             if not alive.any():
                 break
-            obs = np.stack(obs_list)
+            obs = obs_rows
             z, h = t.policy_observe(wm_p, z, h, action, obs,
                                     self._rollout_key())
+            n_alive = int(alive.sum())
+            bucket = 1 << max(0, n_alive - 1).bit_length()
+            if bucket < len(rows_ep):
+                keep = [r for r, ep in enumerate(rows_ep)
+                        if ep >= 0 and alive[ep]]
+                sel = np.asarray(keep + [keep[0]] * (bucket - len(keep)))
+                h, z = h[sel], z[sel]
+                obs = obs[sel]
+                rows_ep = np.concatenate(
+                    [rows_ep[keep], np.full(bucket - len(keep), -1)])
         return float(np.mean(totals))
 
     def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:
@@ -508,7 +522,13 @@ class Dreamer:
             dt = time.perf_counter() - t_iter
             if executor is None:
                 phase_s["perf/learner_s"] = time.perf_counter() - t_learn
-            n_updates = self.cfg.train.wm_epochs + self.cfg.train.ac_epochs
+            # One "update" = one optimizer step: each WM epoch steps the WM
+            # optimizer once; each AC epoch steps BOTH the actor and critic
+            # optimizers (train/agent.py).  In async mode env_steps_per_s
+            # assumes one rollout round per overlapped iteration (exact in
+            # steady state — the executor joins the round before the next
+            # iteration starts).
+            n_updates = self.cfg.train.wm_epochs + 2 * self.cfg.train.ac_epochs
             n_steps = self.cfg.train.sequence_length * self.cfg.env.num_envs
             phase_s["perf/env_steps_per_s"] = n_steps / dt
             phase_s["perf/grad_updates_per_s"] = n_updates / dt

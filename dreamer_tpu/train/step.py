@@ -117,7 +117,11 @@ class Trainer:
 
         keys = jax.random.split(key, self.cfg.train.wm_epochs)
         wm_state, metrics = jax.lax.scan(epoch, state.wm, keys)
-        metrics = jax.tree.map(lambda x: x[-1], metrics)  # report last epoch
+        per_epoch_loss = metrics["wm/loss"]               # (wm_epochs,)
+        metrics = jax.tree.map(lambda x: x[-1], metrics)  # scalars: last epoch
+        # The reference appends EVERY WM epoch's loss to its log list
+        # (Dreamer.py:240); keep the per-epoch vector so the npz matches.
+        metrics["wm/loss_epochs"] = per_epoch_loss
         return state._replace(wm=wm_state), metrics
 
     def _ac_step(self, state: DreamerState, buf: ReplayState, key: jax.Array

@@ -35,8 +35,20 @@ class MetricsLogger:
     def log_iteration(self, iteration: int, metrics: Dict[str, Any]):
         """Record one training iteration's scalar metrics dict."""
         row = {"iteration": iteration, "wall_time": time.time() - self._t0}
-        row.update({k: float(v) for k, v in metrics.items()})
-        if "wm/loss" in row:
+        # Scalars land in the CSV; small vectors (per-epoch losses) are
+        # accumulated for the npz but kept out of the CSV row.
+        vectors: Dict[str, np.ndarray] = {}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                row[k] = float(arr)
+            else:
+                vectors[k] = arr
+        if "wm/loss_epochs" in vectors:
+            # One entry per WM epoch, like the reference's flat loss list
+            # (Dreamer.py:240 appends inside the epoch loop).
+            self.wm_losses.append([float(x) for x in vectors["wm/loss_epochs"].ravel()])
+        elif "wm/loss" in row:
             self.wm_losses.append([row["wm/loss"]])
         if "ac/loss_actor" in row:
             self.actor_losses.append(row["ac/loss_actor"])
@@ -77,9 +89,11 @@ class MetricsLogger:
     def save_npz(self, path: Optional[str] = None):
         """Reference-compatible dump (same keys as training_logs.npz)."""
         path = path or os.path.join(self.log_dir, "training_logs.npz")
+        wm = (np.concatenate([np.asarray(r, np.float32) for r in self.wm_losses])
+              if self.wm_losses else np.zeros((0,), np.float32))
         np.savez(
             path,
-            world_model_loss=np.asarray(self.wm_losses, dtype=np.float32),
+            world_model_loss=wm,
             actor_loss=np.asarray(self.actor_losses, dtype=np.float32),
             critic_loss=np.asarray(self.critic_losses, dtype=np.float32),
             rewards=np.asarray(self.eval_rewards, dtype=np.float32),

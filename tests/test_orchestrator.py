@@ -68,7 +68,9 @@ class TestTrainLoop:
         assert rows, "no perf counters logged"
         r = rows[-1]
         steps_per_iter = d.cfg.train.sequence_length * d.cfg.env.num_envs
-        updates_per_iter = d.cfg.train.wm_epochs + d.cfg.train.ac_epochs
+        # optimizer steps per iteration: 1 per WM epoch + 2 per AC epoch
+        # (actor and critic step separately, train/agent.py)
+        updates_per_iter = d.cfg.train.wm_epochs + 2 * d.cfg.train.ac_epochs
         ratio = (float(r["perf/env_steps_per_s"]) /
                  float(r["perf/grad_updates_per_s"]))
         assert ratio == pytest.approx(steps_per_iter / updates_per_iter)
@@ -141,6 +143,24 @@ class TestBatchedEval:
         d = Dreamer(smoke_cfg(tmp_path))
         r = d.evaluate_agent(2, max_steps=300, batched=True)
         assert np.isfinite(r)
+
+    def test_batched_eval_compacts_mixed_lengths(self, tmp_path):
+        """Episodes ending at different times are compacted out of the device
+        step (power-of-two buckets) instead of being stepped until max_steps;
+        per-episode returns must still be complete."""
+        from dreamer_tpu.envs import EnvFarm
+        from dreamer_tpu.envs.fake import FakeEnv
+
+        d = Dreamer(smoke_cfg(tmp_path))
+        lens = [6, 20, 41]
+        d._eval_farm = EnvFarm(
+            [lambda l=l: FakeEnv(obs_size=(32, 32), episode_len=l) for l in lens],
+            seed=0)
+        r = d.evaluate_agent(3, max_steps=60)
+        assert np.isfinite(r)
+        # every episode ran to its own truncation (reward ~1/step scale, all
+        # three lengths contribute -> mean over 3 episodes of len-sum rewards)
+        assert r != 0.0
 
 
 class TestWeightBroadcast:

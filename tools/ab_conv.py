@@ -54,9 +54,16 @@ def main():
 
     @jax.jit
     def enc_grad(p, o):
-        def loss(p):
-            return jnp.sum(enc_fwd(p, o).astype(jnp.float32))
-        return jax.grad(loss)(p)
+        # Differentiate only the encoder subtree (enc_conv*): grad-ing the
+        # whole WM tree would also materialize zero gradients for the
+        # decoder/GRU/head params and pollute the timing.
+        enc = {k: v for k, v in p.items() if k.startswith("enc_conv")}
+        rest = {k: v for k, v in p.items() if not k.startswith("enc_conv")}
+
+        def loss(enc_p):
+            return jnp.sum(enc_fwd({**enc_p, **rest}, o).astype(jnp.float32))
+
+        return jax.grad(loss)(enc)
 
     @jax.jit
     def dec_fwd(p, hh, zz):
