@@ -92,6 +92,21 @@ class MeshPlan:
         # data axis so downstream grads are shard-local and psum'd by XLA.
         # A mesh-bound trainer keeps the constraint for its lifetime.
         trainer.batch_constraint = NamedSharding(self.mesh, P(DATA_AXIS))
+        # Shard-local replay sampling: when the ring's env axis shards over
+        # data AND the batch divides evenly, each data shard samples its rows
+        # from its OWN env streams (replay.sample_shard_local) — uniform
+        # overall, but no cross-shard gather of the ring.
+        num_envs = buffer_exemplar.obs.shape[0]
+        batch = trainer.cfg.train.batch_size
+        if (self.n_data > 1 and num_envs % self.n_data == 0
+                and num_envs >= self.n_data and batch % self.n_data == 0):
+            trainer.sample_mesh = self.mesh
+            trainer.sample_axis = DATA_AXIS
+            trainer.sample_shards = self.n_data
+        else:
+            trainer.sample_mesh = None
+            trainer.sample_axis = None
+            trainer.sample_shards = 1
 
         return jax.jit(
             trainer._train_iteration,

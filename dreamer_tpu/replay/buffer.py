@@ -111,23 +111,29 @@ class ReplayBuffer:
         """
         return self._sample(state, key, batch_size)
 
-    def _sample_impl(self, state: ReplayState, key: jax.Array, batch_size: int,
-                     t_out: int | None = None, with_scalars: bool = True):
-        """``t_out`` (static) gathers only the first t_out of the T-step
-        window; ``with_scalars=False`` skips the reward/cont gathers.  The
-        start distribution and RNG stream are IDENTICAL for every (t_out,
-        with_scalars): valid_starts/collision logic always use the full
-        sequence_length, so a consumer that needs fewer steps (WM horizon 30,
-        AC warmup 25 of T=50) gathers 40-50% fewer obs bytes for bit-equal
-        training batches."""
+    def _draw_indices(self, state: ReplayState, key: jax.Array, batch_size: int,
+                      n_shards: int = 1):
+        """The (env_idx, starts) draws shared by the global and shard-local
+        gather paths.
+
+        With ``n_shards > 1`` each batch row draws its env index WITHIN the
+        env block its data shard owns (row b belongs to shard b // (B/S),
+        which owns envs [s*E/S, (s+1)*E/S)) — the overall (env, start)
+        distribution stays uniform, but a data-sharded ring is only ever
+        gathered shard-locally.  ``n_shards=1`` is byte-identical (same RNG
+        stream, same draws) to the original uniform sampler."""
         T = self.sequence_length
-        assert t_out is None or 0 < t_out <= T, (
-            f"t_out={t_out} must lie in (0, sequence_length={T}]: the start "
-            "distribution/collision re-roll only guarantee validity of the "
-            "first T steps of each window")
         valid_starts = jnp.maximum(state.size - T + 1, 1)
         k1, k2, k3 = jax.random.split(key, 3)
-        env_idx = jax.random.randint(k1, (batch_size,), 0, self.num_envs)
+        if n_shards > 1:
+            assert batch_size % n_shards == 0 and self.num_envs % n_shards == 0
+            e_local = self.num_envs // n_shards
+            shard_of_row = (jnp.arange(batch_size, dtype=jnp.int32)
+                            // (batch_size // n_shards))
+            env_idx = (shard_of_row * e_local
+                       + jax.random.randint(k1, (batch_size,), 0, e_local))
+        else:
+            env_idx = jax.random.randint(k1, (batch_size,), 0, self.num_envs)
         starts = jax.random.randint(k2, (batch_size,), 0, valid_starts)
         # Re-roll windows that strictly contain the write head (only possible
         # when the buffer has wrapped): Buffer.py:39-48.
@@ -135,7 +141,10 @@ class ReplayBuffer:
         collide = (starts < state.next_idx) & (state.next_idx < starts + T)
         reroll = jax.random.randint(k3, (batch_size,), 0, valid_starts)
         starts = jnp.where(full & collide, reroll, starts)
-        Tg = T if t_out is None else t_out
+        return env_idx, starts
+
+    def _gather(self, state: ReplayState, env_idx, starts, t_out, with_scalars):
+        Tg = self.sequence_length if t_out is None else t_out
         idx = (starts[:, None] + jnp.arange(Tg, dtype=jnp.int32)[None, :]) % self.capacity
         e = env_idx[:, None]
         if not with_scalars:
@@ -146,3 +155,61 @@ class ReplayBuffer:
             state.reward[e, idx],
             state.cont[e, idx],
         )
+
+    def _sample_impl(self, state: ReplayState, key: jax.Array, batch_size: int,
+                     t_out: int | None = None, with_scalars: bool = True,
+                     n_shards: int = 1):
+        """``t_out`` (static) gathers only the first t_out of the T-step
+        window; ``with_scalars=False`` skips the reward/cont gathers.  The
+        start distribution and RNG stream are IDENTICAL for every (t_out,
+        with_scalars): valid_starts/collision logic always use the full
+        sequence_length, so a consumer that needs fewer steps (WM horizon 30,
+        AC warmup 25 of T=50) gathers 40-50% fewer obs bytes for bit-equal
+        training batches.  ``n_shards`` (static): see _draw_indices."""
+        T = self.sequence_length
+        assert t_out is None or 0 < t_out <= T, (
+            f"t_out={t_out} must lie in (0, sequence_length={T}]: the start "
+            "distribution/collision re-roll only guarantee validity of the "
+            "first T steps of each window")
+        env_idx, starts = self._draw_indices(state, key, batch_size, n_shards)
+        return self._gather(state, env_idx, starts, t_out, with_scalars)
+
+    def sample_shard_local(self, mesh, data_axis: str, state: ReplayState,
+                           key: jax.Array, batch_size: int,
+                           t_out: int | None = None, with_scalars: bool = True):
+        """Shard-local sampling for a ring whose env axis is sharded over
+        ``data_axis``: a shard_map in which every data shard draws and gathers
+        its rows from its OWN env-stream block, so no cross-device gather /
+        all-gather of the (multi-GB) ring is ever emitted.
+
+        Numerically identical to ``_sample_impl(..., n_shards=mesh data size)``
+        on one device: the same key produces the same (env, start) draws; only
+        the gather is partitioned."""
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[data_axis]
+        per = batch_size // n_shards
+        e_local = self.num_envs // n_shards
+        assert batch_size % n_shards == 0 and self.num_envs % n_shards == 0
+
+        def local(buf_local: ReplayState, k):
+            s = jax.lax.axis_index(data_axis)
+            # Replicated draw computation (identical across shards), then each
+            # shard slices out its own row block and rebases env indices.
+            env_idx, starts = self._draw_indices(buf_local, k, batch_size,
+                                                 n_shards)
+            rows0 = s * per
+            env_l = jax.lax.dynamic_slice(env_idx, (rows0,), (per,)) - s * e_local
+            starts_l = jax.lax.dynamic_slice(starts, (rows0,), (per,))
+            return self._gather(buf_local, env_l, starts_l, t_out, with_scalars)
+
+        env_sharded = P(data_axis)
+        buf_specs = ReplayState(obs=env_sharded, action=env_sharded,
+                                reward=env_sharded, cont=env_sharded,
+                                next_idx=P(), size=P())
+        n_out = 2 if not with_scalars else 4
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(buf_specs, P()),
+            out_specs=tuple(P(data_axis) for _ in range(n_out)),
+            check_vma=False,
+        )(state, key)

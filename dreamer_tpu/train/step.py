@@ -48,8 +48,13 @@ class Trainer:
         self.actor_opt = make_actor_optimizer(cfg)
         self.critic_opt = make_critic_optimizer(cfg)
         # Set by parallel.MeshPlan.shard_train_iteration: a NamedSharding that
-        # pins sampled batches' leading dim to the mesh data axis.
+        # pins sampled batches' leading dim to the mesh data axis, plus the
+        # shard-local sampling plan (mesh + shard count) used when the replay
+        # ring's env axis is itself sharded over data.
         self.batch_constraint = None
+        self.sample_mesh = None
+        self.sample_axis = None
+        self.sample_shards = 1
 
         maybe_jit = jax.jit if jit else (lambda f, **kw: f)
         # With donate=True training states are updated in place (the caller
@@ -102,6 +107,20 @@ class Trainer:
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, self.batch_constraint), batch)
 
+    def _sample_batch(self, buf: ReplayState, key: jax.Array, t_out: int,
+                      with_scalars: bool = True):
+        """Sample a training batch, shard-locally when the ring's env axis is
+        sharded over the mesh data axis (no cross-device ring gathers)."""
+        B = self.cfg.train.batch_size
+        if self.sample_mesh is not None and self.sample_shards > 1:
+            return self.buffer.sample_shard_local(
+                self.sample_mesh, self.sample_axis, buf, key, B,
+                t_out=t_out, with_scalars=with_scalars)
+        batch = self.buffer._sample_impl(buf, key, B, t_out=t_out,
+                                         with_scalars=with_scalars,
+                                         n_shards=self.sample_shards)
+        return self._constrain(batch)
+
     def _wm_step(self, state: DreamerState, buf: ReplayState, key: jax.Array
                  ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
         """WM_epochs gradient steps, each on a fresh sample (Dreamer.py:228-242)."""
@@ -109,9 +128,7 @@ class Trainer:
             k_s, k_u = jax.random.split(k)
             # Gather only the horizon window — same starts/RNG, 40% fewer
             # obs bytes (the loss uses steps [:horizon], WorldModel.py:156-160).
-            batch = self._constrain(
-                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size,
-                                         t_out=self.cfg.train.horizon))
+            batch = self._sample_batch(buf, k_s, t_out=self.cfg.train.horizon)
             new_state, metrics = wm_update(self.rssm, self.wm_opt, wm_state, batch, k_u, self.cfg)
             return new_state, metrics
 
@@ -132,10 +149,9 @@ class Trainer:
             # The AC update consumes only the warm-start window (obs/actions
             # [:T//2], Dreamer.py:254) and never reads rewards/conts (the
             # dream generates its own) — gather just that.
-            batch = self._constrain(
-                self.buffer._sample_impl(buf, k_s, self.cfg.train.batch_size,
-                                         t_out=self.cfg.train.sequence_length // 2,
-                                         with_scalars=False))
+            batch = self._sample_batch(
+                buf, k_s, t_out=self.cfg.train.sequence_length // 2,
+                with_scalars=False)
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
                 self.rssm, batch, k_u)
