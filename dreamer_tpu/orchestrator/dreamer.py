@@ -425,9 +425,26 @@ class Dreamer:
             "target_critic": self.state.ac.target_critic_params,
         }
 
+    def _checkpoint_shardings(self):
+        """Shardings mirroring _checkpoint_tree under a mesh plan (None on
+        single device): resume re-places params/opt on their param_spec
+        shardings and the replay ring on its env-sharded layout instead of
+        restoring everything unsharded."""
+        if self._plan is None:
+            return None
+        rep = self._plan.replicated()
+        tree = {
+            "state": self._plan.state_shardings(self.state),
+            "rng": rep, "iteration": rep, "env_seed": rep, "eval_seed": rep,
+        }
+        if self.cfg.runtime.checkpoint_replay:
+            tree["buffer"] = self._plan.buffer_shardings(self.buf)
+        return tree
+
     def restore_latest(self) -> bool:
         """Resume from the newest checkpoint; returns True if one was found."""
-        result = self.ckpt.restore_latest(self._checkpoint_tree())
+        result = self.ckpt.restore_latest(self._checkpoint_tree(),
+                                          shardings=self._checkpoint_shardings())
         if result is None:
             return False
         _, tree = result

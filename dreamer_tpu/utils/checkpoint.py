@@ -101,18 +101,28 @@ class CheckpointManager:
         with open(marker) as f:
             return int(f.read().strip())
 
-    def restore(self, step: int, target: Any) -> Any:
+    def restore(self, step: int, target: Any, shardings: Any = None) -> Any:
         """Restore into the structure of ``target`` (an exemplar pytree with
-        correct shapes/dtypes, e.g. a freshly-initialised state)."""
+        correct shapes/dtypes, e.g. a freshly-initialised state).
+
+        ``shardings``: optional pytree of jax.sharding.Sharding matching
+        ``target`` — leaves are placed directly onto their mesh shardings
+        (mesh-resume; without it a sharded run would restore unsharded)."""
         restored = self._ckptr.restore(self._path(step), item=target)
+        if shardings is not None:
+            return jax.tree.map(
+                lambda exemplar, val, sh: jax.device_put(
+                    np.asarray(val, dtype=getattr(exemplar, "dtype", None)), sh),
+                target, restored, shardings)
         # orbax may return numpy leaves; push them back to device arrays with
         # the exemplar's dtypes.
         return jax.tree.map(
             lambda exemplar, val: jax.numpy.asarray(val, dtype=getattr(exemplar, "dtype", None)),
             target, restored)
 
-    def restore_latest(self, target: Any) -> Optional[Tuple[int, Any]]:
+    def restore_latest(self, target: Any, shardings: Any = None
+                       ) -> Optional[Tuple[int, Any]]:
         step = self.latest_step()
         if step is None:
             return None
-        return step, self.restore(step, target)
+        return step, self.restore(step, target, shardings=shardings)

@@ -150,6 +150,36 @@ class TestMeshFromConfig:
         assert d.iteration == 4
 
 
+class TestMeshResume:
+    def test_restore_under_mesh_is_sharded_and_trains(self, tmp_path):
+        """Saving from a mesh run and resuming into a fresh mesh-bound
+        orchestrator must re-place state/buffer on the plan shardings and
+        continue training (VERDICT r1: mesh-aware checkpoint restore)."""
+        from dreamer_tpu.orchestrator import Dreamer
+        from tests.test_orchestrator import smoke_cfg
+
+        kw = {"runtime.mesh_shape": "[2,1]", "train.batch_size": 8,
+              "train.training_iterations": 2}
+        d = Dreamer(smoke_cfg(tmp_path, **kw))
+        d.train(progress=False)
+        assert d.iteration == 2
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **kw))
+        assert d2.restore_latest()
+        assert d2.iteration == 2
+        # every state leaf landed on exactly its plan sharding
+        sh_tree = d2._plan.state_shardings(d2.state)
+        for leaf, sh in zip(jax.tree.leaves(d2.state), jax.tree.leaves(sh_tree)):
+            assert leaf.sharding.is_equivalent_to(sh, leaf.ndim), (leaf.shape, sh)
+        # buffer ring re-placed with its env sharding
+        buf_sh = d2._plan.buffer_shardings(d2.buf)
+        assert d2.buf.obs.sharding.is_equivalent_to(buf_sh.obs, d2.buf.obs.ndim)
+        # one more sharded iteration runs
+        d2.state, m = d2._sharded_iteration(d2.state, d2.buf,
+                                            d2._learner_key())
+        assert np.isfinite(float(m["wm/loss"]))
+
+
 class TestDryrunDeviceCounts:
     @pytest.mark.parametrize("n", [1, 2, 4])
     def test_dryrun_various_counts(self, n):
