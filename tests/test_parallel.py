@@ -76,6 +76,69 @@ class TestShardedTraining:
         assert lowered is not None
 
 
+class TestTensorParallel:
+    def test_flagship_widths_shard_and_match_single_device(self):
+        """TP at REAL widths (VERDICT r1 item 3): the (1027,1800)/(600,1800)
+        GRU kernels, the 1024-wide latent heads and the (200,4096) decoder
+        upscaler split over model=2, and the sharded WM update matches the
+        single-device update."""
+        import dataclasses
+
+        from dreamer_tpu.config import DreamerConfig
+        from dreamer_tpu.train import Trainer
+
+        cfg = DreamerConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, horizon=3, batch_size=4,
+                                      sequence_length=8, buffer_size=64,
+                                      wm_epochs=1, ac_epochs=1),
+            runtime=dataclasses.replace(cfg.runtime, compute_dtype="float32"))
+        key = jax.random.PRNGKey(0)
+
+        def build():
+            t = Trainer(cfg, jit=False)
+            s = t.init_state(key)
+            b = t.buffer.init_state()
+            n = cfg.train.sequence_length + 2
+            obs = (jax.random.uniform(key, (1, n, 64, 64, 3)) * 255).astype(jnp.uint8)
+            b = t.buffer.add_batch(b, obs, jnp.zeros((1, n, 3)),
+                                   jnp.ones((1, n)), jnp.ones((1, n)))
+            return t, s, b
+
+        t1, s1, b1 = build()
+        new1, m1 = jax.jit(t1._wm_step)(s1, b1, key)
+
+        mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+        plan = MeshPlan(mesh)
+        t2, s2, b2 = build()
+        s2 = plan.place_state(s2)
+        b2 = plan.place_buffer(b2)
+
+        def uses_model(leaf):
+            spec = getattr(leaf.sharding, "spec", None) or ()
+            flat = [a for ax in spec
+                    for a in (ax if isinstance(ax, tuple) else (ax,))]
+            return "model" in flat
+
+        tp_leaves = [l for l in jax.tree.leaves(s2.wm.params) if uses_model(l)]
+        assert len(tp_leaves) >= 4, len(tp_leaves)
+        assert any(l.shape == (1027, 1800) for l in tp_leaves)  # GRU kernel_i
+
+        step = jax.jit(
+            t2._wm_step,
+            in_shardings=(plan.state_shardings(s2), plan.buffer_shardings(b2),
+                          plan.replicated()),
+            out_shardings=(plan.state_shardings(s2), plan.replicated()))
+        new2, m2 = step(s2, b2, key)
+        np.testing.assert_allclose(float(m1["wm/loss"]), float(m2["wm/loss"]),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(new1.wm.params),
+                        jax.tree.leaves(new2.wm.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
 class TestShardLocalSampling:
     """Locality-aware replay sampling: with the ring env axis sharded over
     data, every shard gathers ONLY its own env streams (VERDICT r1 item 8)."""
