@@ -71,6 +71,10 @@ class AgentConfig:
     weight_decay: float = 1e-6
     grad_clip: float = 100.0              # Agent.py:147-148
     nu: float = 3e-4                      # entropy coefficient (Agent.py:124)
+    # Policy sigma floor: sigma = softplus(clamped log_sig) + min_std.  The
+    # reference hard-codes 1e-3 (Agent.py:199); ~0.1 prevents the entropy
+    # collapse that killed the round-1 long CarRacing run after its peak.
+    min_std: float = 1e-3
     lambda_: float = 0.95
     gamma: float = 0.99
     target_tau: float = 0.02              # soft target update (Agent.py:90)

@@ -65,14 +65,20 @@ _SIG_FLOOR = 1e-3
 _ACTION_EPS = 1e-6
 
 
-def actor_mu_sigma(mu_raw: jnp.ndarray, log_sig_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def actor_mu_sigma(mu_raw: jnp.ndarray, log_sig_raw: jnp.ndarray,
+                   min_std: float = _SIG_FLOOR) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Map raw actor head outputs to (mu, sigma).
 
     Reference: Agent.py:196-200 — log_sig clamped to [-5, 2], then
-    sigma = softplus(log_sig) + 1e-3.
+    sigma = softplus(log_sig) + 1e-3.  ``min_std`` generalises the reference's
+    hard-coded 1e-3 floor: at the default the semantics are identical, while a
+    larger floor (e.g. 0.1) guards against entropy collapse — with the 1e-3
+    floor the stochastic policy can go near-deterministic and stop exploring
+    permanently (observed in the round-1 long CarRacing run: single-sample
+    entropy fell from +0.6 to -7 and the 308-peak policy collapsed to -70).
     """
     log_sig = jnp.clip(log_sig_raw, _LOG_SIG_MIN, _LOG_SIG_MAX)
-    sigma = jax.nn.softplus(log_sig) + _SIG_FLOOR
+    sigma = jax.nn.softplus(log_sig) + min_std
     return mu_raw, sigma
 
 

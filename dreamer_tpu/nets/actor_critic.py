@@ -21,6 +21,7 @@ class Actor(nn.Module):
     action_dim: int
     hidden_1: int = 200
     hidden_2: int = 200
+    min_std: float = 1e-3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -33,7 +34,9 @@ class Actor(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros, name="mu_head")(x)
         log_sig_raw = nn.Dense(self.action_dim, dtype=self.dtype, name="log_sig_head")(x)
-        return actor_mu_sigma(mu_raw.astype(jnp.float32), log_sig_raw.astype(jnp.float32))
+        return actor_mu_sigma(mu_raw.astype(jnp.float32),
+                              log_sig_raw.astype(jnp.float32),
+                              min_std=self.min_std)
 
 
 def act(mu: jnp.ndarray, sigma: jnp.ndarray, key: jax.Array | None,

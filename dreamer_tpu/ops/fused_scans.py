@@ -178,6 +178,7 @@ class _ImagineCfg(NamedTuple):
     unroll: int
     n_actor_hidden: int = 2
     n_dyn_hidden: int = 2
+    min_std: float = 1e-3   # policy sigma floor (must match Actor.min_std)
 
 
 def _imagine_step(params, cfg: _ImagineCfg, carry, eps, gum, taps, want_acts):
@@ -206,7 +207,7 @@ def _imagine_step(params, cfg: _ImagineCfg, carry, eps, gum, taps, want_acts):
         acts["a.head_in"] = a2   # shared input of mu_head AND log_sig_head
     mu_raw = _dense(ap["mu_head"], a2, t("a.mu_head")).astype(f32)
     sig_raw = _dense(ap["log_sig_head"], a2, t("a.log_sig_head")).astype(f32)
-    mu, sigma = actor_mu_sigma(mu_raw, sig_raw)
+    mu, sigma = actor_mu_sigma(mu_raw, sig_raw, min_std=cfg.min_std)
 
     # rsample (core/dists.tanh_normal_sample with precomputed eps)
     action = jnp.tanh(mu + sigma * eps)

@@ -60,10 +60,13 @@ class RSSM:
     def __init__(self, cfg: WorldModelConfig, action_dim: int = 3,
                  dtype: Any = jnp.float32, use_pallas_gru: bool = False,
                  remat: bool = False, scan_unroll: int = 1,
-                 fused_scan_grads: bool = False):
+                 fused_scan_grads: bool = False, actor_min_std: float = 1e-3):
         self.cfg = cfg
         self.action_dim = action_dim
         self.scan_unroll = scan_unroll
+        # Sigma floor of the actor evaluated inside imagine (must match
+        # Actor.min_std so the fused scan reproduces the flax module exactly).
+        self.actor_min_std = actor_min_std
         self.dtype = dtype
         # Deferred-weight-gradient custom-VJP scans (ops/fused_scans.py):
         # same math + same RNG stream, but the backward pass computes every
@@ -336,7 +339,8 @@ class RSSM:
         icfg = _ImagineCfg(horizon=horizon, unimix=c.unimix,
                            latent_dim=c.latent_dim, rows=c.latent_rows,
                            classes=c.latent_classes, dtype=self.dtype,
-                           unroll=self.scan_unroll)
+                           unroll=self.scan_unroll,
+                           min_std=self.actor_min_std)
         sub = {"gru": params["gru"], "dyn": params["dyn_head"],
                "actor": actor_params}
         h_fin, z_fin, h_seq, z_seq, a_seq, mu_seq, sig_seq = imagine_scan(

@@ -70,7 +70,8 @@ class AgentTrainer:
         a = cfg.agent
         self.cfg = cfg
         self.actor = Actor(action_dim=cfg.env.action_dim, hidden_1=a.actor_hidden_1,
-                           hidden_2=a.actor_hidden_2, dtype=dtype)
+                           hidden_2=a.actor_hidden_2, min_std=a.min_std,
+                           dtype=dtype)
         self.critic = Critic(num_buckets=a.critic_buckets, hidden_1=a.critic_hidden_1,
                              hidden_2=a.critic_hidden_2, dtype=dtype)
         self.buckets = bucket_values(a.critic_buckets)

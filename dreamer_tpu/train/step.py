@@ -39,7 +39,8 @@ class Trainer:
                          use_pallas_gru=cfg.runtime.use_pallas_gru,
                          remat=cfg.runtime.remat_decoder,
                          scan_unroll=cfg.runtime.scan_unroll,
-                         fused_scan_grads=cfg.runtime.fused_scan_grads)
+                         fused_scan_grads=cfg.runtime.fused_scan_grads,
+                         actor_min_std=cfg.agent.min_std)
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
                                    cfg.env.action_dim, cfg.wm.obs_size,

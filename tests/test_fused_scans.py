@@ -205,3 +205,38 @@ class TestTrainerFused:
         for k in ma:
             np.testing.assert_allclose(ma[k], mb[k], rtol=1e-3, atol=1e-4,
                                        err_msg=k)
+
+
+class TestMinStdThreading:
+    """agent.min_std must reach BOTH actor implementations: the flax Actor
+    module and the raw-jnp fused imagine scan (they must stay bit-identical
+    at non-default floors)."""
+
+    def test_fused_imagine_matches_module_at_min_std(self):
+        wm_cfg = WorldModelConfig(**SMALL)
+        base = RSSM(wm_cfg, action_dim=3, fused_scan_grads=False,
+                    actor_min_std=0.1)
+        fused = RSSM(wm_cfg, action_dim=3, fused_scan_grads=True,
+                     actor_min_std=0.1)
+        params = base.init_params(jax.random.PRNGKey(0))
+        cfg = DreamerConfig()
+        cfg = dataclasses.replace(
+            cfg, wm=wm_cfg,
+            agent=dataclasses.replace(cfg.agent, actor_hidden_1=24,
+                                      actor_hidden_2=24, critic_buckets=31,
+                                      min_std=0.1))
+        agent = AgentTrainer(cfg)
+        actor_params, _ = agent.init_params(jax.random.PRNGKey(1),
+                                            wm_cfg.hidden_dim, wm_cfg.latent_dim)
+        B = 4
+        h0 = jax.random.normal(jax.random.PRNGKey(2), (B, wm_cfg.hidden_dim))
+        z0 = jax.random.normal(jax.random.PRNGKey(3), (B, wm_cfg.latent_dim))
+        key = jax.random.PRNGKey(9)
+        ta = base.imagine(params, agent.actor_fn(actor_params), z0, h0, 5, key)
+        tb = fused.imagine(params, agent.actor_fn(actor_params), z0, h0, 5, key)
+        for name in ta._fields:
+            np.testing.assert_allclose(
+                getattr(ta, name), getattr(tb, name), rtol=0, atol=0,
+                err_msg=f"mismatch in {name}")
+        # The floor actually binds: no sigma below it anywhere in the rollout.
+        assert float(jnp.min(ta.sigma)) >= 0.1
