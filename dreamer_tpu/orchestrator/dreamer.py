@@ -37,7 +37,16 @@ class Dreamer:
     def __init__(self, cfg: DreamerConfig, env_factory: Optional[Callable] = None,
                  jit: bool = True):
         self.cfg = cfg
-        self.trainer = Trainer(cfg, jit=jit, donate=jit)
+        # Under multi-host, cfg.env.num_envs is the PER-PROCESS env-farm size;
+        # the learner (and its replay ring env axis) spans the global farm.
+        learner_cfg = cfg
+        if jax.process_count() > 1:
+            import dataclasses
+
+            learner_cfg = dataclasses.replace(
+                cfg, env=dataclasses.replace(
+                    cfg.env, num_envs=cfg.env.num_envs * jax.process_count()))
+        self.trainer = Trainer(learner_cfg, jit=jit, donate=jit)
         # The rollout/eval policy runs in float32 regardless of the learner's
         # compute dtype: the reference's autocast wraps only training_step
         # (WorldModel.py:162) — rollout_policy/evaluate_agent run fp32.  On a
@@ -63,10 +72,28 @@ class Dreamer:
         self._cpu_device = jax.local_devices(backend="cpu")[0]
         self._learner_device = jax.local_devices()[0]
         self._plan = None
+        # Multi-host: one process per host (jax.distributed initialised by the
+        # CLI).  Collective programs (learner updates, buffer writes, ckpt)
+        # run SPMD on every process; rollout/eval are process-local.
+        self._proc = jax.process_index()
+        self._nproc = jax.process_count()
+        if self._nproc > 1 and cfg.runtime.rollout_device != "cpu":
+            raise ValueError(
+                "multi-process runs require runtime.rollout_device='cpu': the "
+                "rollout/eval policy must be host-local so only the learner "
+                "programs are collective")
+        # TWO RNG streams: the learner stream MUST advance identically on
+        # every process (its keys feed collective SPMD programs — inconsistent
+        # 'replicated' inputs are undefined behavior), while the rollout/eval
+        # stream is deliberately process-distinct (exploration diversity).
         self.rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed),
                                   self._cpu_device)
+        rollout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        if self._proc > 0:
+            rollout_rng = jax.random.fold_in(rollout_rng, self._proc)
+        self.rollout_rng = jax.device_put(rollout_rng, self._cpu_device)
         self.state = self.trainer.init_state(self._learner_key())
-        self.buf = self.trainer.buffer.init_state()
+        self.buf = None   # built below (globally, under a mesh plan)
         self.iteration = 0
 
         import functools
@@ -83,7 +110,10 @@ class Dreamer:
             from dreamer_tpu.envs import AsyncEnvFarm
 
             farm_cls = AsyncEnvFarm
-        self.farm = farm_cls([factory] * cfg.env.num_envs, seed=cfg.train.seed)
+        # Per-process env seeds: each host's farm explores distinct episodes.
+        self._env_seed_offset = self._proc * 100_003
+        self.farm = farm_cls([factory] * cfg.env.num_envs,
+                             seed=cfg.train.seed + self._env_seed_offset)
         self.eval_env = factory()
         self._eval_farm = None
         self._eval_seed = cfg.train.seed + 10_000
@@ -94,13 +124,28 @@ class Dreamer:
         # parallel.distributed.init_distributed() first for multi-host.
         self._sharded_iteration = None
         self._sharded_wm_step = None
+        if self._nproc > 1 and not cfg.runtime.mesh_shape:
+            raise ValueError("multi-process runs require runtime.mesh_shape "
+                             "(the CLI defaults it to [n_devices, 1])")
         if cfg.runtime.mesh_shape:
             from dreamer_tpu.parallel import MeshPlan, make_mesh
 
             mesh = make_mesh(cfg.runtime.mesh_shape[0], cfg.runtime.mesh_shape[1])
             self._plan = MeshPlan(mesh)
+            if self._nproc > 1:
+                n_data = self._plan.n_data
+                n_envs_global = cfg.env.num_envs * self._nproc
+                if n_data % self._nproc or n_envs_global % n_data:
+                    raise ValueError(
+                        f"multi-host layout needs data axis ({n_data}) "
+                        f"divisible by processes ({self._nproc}) and global "
+                        f"envs ({n_envs_global}) divisible by the data axis "
+                        "(each host's env rows must land on its own shards)")
             self.state = self._plan.place_state(self.state)
-            self.buf = self._plan.place_buffer(self.buf)
+            # Build the replay ring DIRECTLY on its mesh layout (jit with
+            # out_shardings): no multi-GB host staging array, and each process
+            # allocates only its addressable shards under multi-host.
+            self.buf = self._plan.make_buffer(self.trainer.buffer)
             self._sharded_iteration = self._plan.shard_train_iteration(
                 self.trainer, self.state, self.buf)
             self._sharded_wm_step = jax.jit(
@@ -110,6 +155,8 @@ class Dreamer:
                               self._plan.replicated()),
                 out_shardings=(self._plan.state_shardings(self.state),
                                self._plan.replicated()))
+        else:
+            self.buf = self.trainer.buffer.init_state()
 
         # Persistent rollout state: (h, z) device, current action, current obs.
         self._h = None
@@ -122,24 +169,35 @@ class Dreamer:
             raise ValueError("runtime.async_rollout requires runtime.rollout_device='cpu' "
                              "(the actor must not read donated learner buffers)")
 
-        self.metrics = MetricsLogger(cfg.runtime.log_dir)
+        # Only the primary process writes metrics files; checkpoint saves stay
+        # collective (orbax coordinates the shard writes across processes).
+        self.metrics = MetricsLogger(cfg.runtime.log_dir,
+                                     enabled=self._proc == 0)
         self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir,
                                       use_async=cfg.runtime.async_checkpoint)
+        # Best-eval policy retention: the round-1 long run's peak checkpoint
+        # was pruned away after the policy later collapsed; keep a weights-only
+        # "agent_best" export (never pruned) updated whenever eval improves.
+        self.best_eval = float("-inf")
 
     # ------------------------------------------------------------------ #
 
-    def _next_key(self) -> jax.Array:
-        # Lock: in async mode both the rollout thread and the learner draw
-        # keys from the same stream.  self.rng is CPU-committed, so the split
-        # runs host-side (no accelerator round-trip).
+    def _learner_key(self) -> jax.Array:
+        """A fresh key placed where the learner programs run (async copy).
+
+        Drawn from the learner stream (self.rng), which advances identically
+        on every process — its keys feed collective SPMD programs.  The lock
+        guards against the async rollout thread (which draws from the rollout
+        stream but shares the lock for simplicity)."""
         with self._rng_lock:
             self.rng, key = jax.random.split(self.rng)
-        return key
-
-    def _learner_key(self) -> jax.Array:
-        """A fresh key placed where the learner programs run (async copy)."""
-        key = self._next_key()
         if self._plan is not None:
+            if self._nproc > 1:
+                # device_put cannot place a host value onto a cross-process
+                # sharding; assemble the (identical-everywhere) key shard-wise.
+                arr = np.asarray(key)
+                return jax.make_array_from_callback(
+                    arr.shape, self._plan.replicated(), lambda idx: arr[idx])
             return jax.device_put(key, self._plan.replicated())
         return jax.device_put(key, self._learner_device)
 
@@ -164,7 +222,9 @@ class Dreamer:
         params = (self.state.wm.params, self.state.ac.actor_params)
         if self.cfg.runtime.rollout_device == "cpu":
             cpu = self._cpu_device
-            if any(cpu in leaf.devices() for leaf in jax.tree.leaves(params)[:1]):
+            if (self._nproc == 1 and self._plan is None
+                    and any(cpu in leaf.devices()
+                            for leaf in jax.tree.leaves(params)[:1])):
                 # Learner already lives on this CPU device (CPU test platform):
                 # device_put would alias the learner buffers, which are later
                 # DONATED by train_iteration — force a real copy.
@@ -174,7 +234,13 @@ class Dreamer:
                     self._broadcast_fns = self._make_broadcast_fns(params)
                 flatten, unflatten = self._broadcast_fns
                 if flatten is not None:
-                    params = unflatten(np.asarray(flatten(params)))
+                    flat = flatten(params)
+                    if not flat.is_fully_addressable:
+                        # Multi-host: the jit's replicated out_sharding has
+                        # already allgathered any model-sharded leaves; every
+                        # process holds a full local replica.
+                        flat = flat.addressable_data(0)
+                    params = unflatten(np.asarray(flat))
                 else:  # non-f32 leaves (never in practice): per-leaf fallback
                     params = jax.device_put(params, cpu)
         self._policy_cache = (self.state, params)
@@ -192,8 +258,13 @@ class Dreamer:
 
         # Cast per-leaf BEFORE the concat so the flat staging buffer is
         # allocated at the wire dtype (half the peak HBM for bf16), not f32.
-        flatten = jax.jit(lambda p: jnp.concatenate(
-            [jnp.ravel(x).astype(wire_dtype) for x in jax.tree.leaves(p)]))
+        # Under a mesh plan the output is pinned replicated so every process
+        # can read a full local copy (allgathers TP-sharded leaves on-device).
+        out_sh = self._plan.replicated() if self._plan is not None else None
+        flatten = jax.jit(
+            lambda p: jnp.concatenate(
+                [jnp.ravel(x).astype(wire_dtype) for x in jax.tree.leaves(p)]),
+            out_shardings=out_sh)
 
         def unflatten(host_flat: np.ndarray):
             ls = [jax.device_put(
@@ -207,7 +278,10 @@ class Dreamer:
         return (flatten, unflatten)
 
     def _rollout_key(self) -> jax.Array:
-        key = self._next_key()
+        # Rollout/eval stream: process-distinct (exploration diversity), never
+        # fed into collective programs.
+        with self._rng_lock:
+            self.rollout_rng, key = jax.random.split(self.rollout_rng)
         if self.cfg.runtime.rollout_device != "cpu":
             # Policy runs where the learner params live; ship the host key
             # there (async, 32 bytes).
@@ -272,6 +346,24 @@ class Dreamer:
     def _write_chunk(self, chunks):
         """One donated device write per rollout round: (E, T, ...) chunk."""
         obs, act, rew, cont = chunks
+        if self._nproc > 1:
+            # Each process contributes its local farm's env rows; the global
+            # chunk is assembled shard-wise (no cross-host data movement —
+            # local rows land on local devices) and the ring write is one
+            # collective donated scatter.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            env_sh = NamedSharding(self._plan.mesh, P(self._plan.mesh.axis_names[0]))
+
+            def glob(x, dtype):
+                x = np.asarray(x, dtype)
+                return jax.make_array_from_process_local_data(
+                    env_sh, x, (x.shape[0] * self._nproc,) + x.shape[1:])
+
+            self.buf = self.trainer.buffer.add_batch(
+                self.buf, glob(obs, np.uint8), glob(act, np.float32),
+                glob(rew, np.float32), glob(cont, np.float32))
+            return
         self.buf = self.trainer.buffer.add_batch(
             self.buf,
             jnp.asarray(obs),
@@ -382,20 +474,60 @@ class Dreamer:
     # Checkpointing — full resume (SURVEY §5)
     # ------------------------------------------------------------------ #
 
+    def _replicated_global(self, x):
+        """Wrap a process-consistent host value as a replicated GLOBAL array
+        (orbax refuses host-local arrays in multi-host saves)."""
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, self._plan.replicated(),
+                                            lambda idx: arr[idx])
+
     def _checkpoint_tree(self):
+        # Scalar leaves must be PROCESS-CONSISTENT under multi-host (orbax
+        # writes them once): env_seed stores the base (per-process offsets are
+        # re-applied on restore) and rollout_rng stores process 0's stream
+        # (other processes re-fold their index in on restore).
         tree = {
             "state": self.state,
             "rng": self.rng,
+            "rollout_rng": (self.rollout_rng if self._proc == 0 else
+                            jax.device_put(jnp.zeros_like(self.rollout_rng),
+                                           self._cpu_device)),
             "iteration": jnp.asarray(self.iteration, jnp.int32),
-            "env_seed": jnp.asarray(self.farm.seed, jnp.int32),
+            "env_seed": jnp.asarray(self.farm.seed - self._env_seed_offset,
+                                    jnp.int32),
             "eval_seed": jnp.asarray(self._eval_seed, jnp.int32),
         }
+        if self._nproc > 1:
+            # rollout_rng is NOT process-consistent by design; checkpoint
+            # process 0's stream.  broadcast_one_to_all makes the replicated
+            # global leaf well-defined.
+            from jax.experimental import multihost_utils
+
+            tree["rollout_rng"] = self._replicated_global(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(tree["rollout_rng"])))
+            for k in ("rng", "iteration", "env_seed", "eval_seed"):
+                tree[k] = self._replicated_global(tree[k])
         if self.cfg.runtime.checkpoint_replay:
             tree["buffer"] = self.buf
         return tree
 
     def save_checkpoint(self):
         return self.ckpt.save(self.iteration, self._checkpoint_tree())
+
+    def _maybe_save_best(self, reward: float):
+        """Persist a weights-only agent export + marker whenever eval improves
+        (outside the pruned ckpt_* set, so the peak policy always survives)."""
+        if reward <= self.best_eval:
+            return
+        self.best_eval = reward
+        import json
+
+        base = self.cfg.runtime.checkpoint_dir
+        os.makedirs(base, exist_ok=True)
+        self.save_agent(os.path.join(base, "agent_best"))
+        with open(os.path.join(base, "best.json"), "w") as f:
+            json.dump({"iteration": self.iteration, "eval_reward": reward}, f)
 
     def save_agent(self, path: str):
         """Weights-only export (the reference's save_trained_Dreamer /
@@ -435,7 +567,8 @@ class Dreamer:
         rep = self._plan.replicated()
         tree = {
             "state": self._plan.state_shardings(self.state),
-            "rng": rep, "iteration": rep, "env_seed": rep, "eval_seed": rep,
+            "rng": rep, "rollout_rng": rep, "iteration": rep,
+            "env_seed": rep, "eval_seed": rep,
         }
         if self.cfg.runtime.checkpoint_replay:
             tree["buffer"] = self._plan.buffer_shardings(self.buf)
@@ -453,14 +586,60 @@ class Dreamer:
             self.buf = tree["buffer"]
         # else: checkpoint_replay=False — keep the fresh buffer; train()'s
         # priming loop refills it before the next gradient step.
-        self.rng = jax.device_put(tree["rng"], self._cpu_device)
-        self.iteration = int(tree["iteration"])
-        self.farm.seed = int(tree["env_seed"])
-        self._eval_seed = int(tree["eval_seed"])
+        self.rng = jax.device_put(self._host_value(tree["rng"]),
+                                  self._cpu_device)
+        rollout_rng = jax.device_put(self._host_value(tree["rollout_rng"]),
+                                     self._cpu_device)
+        if self._proc > 0:
+            # The checkpoint stores process 0's rollout stream; re-diversify.
+            rollout_rng = jax.random.fold_in(rollout_rng, self._proc)
+        self.rollout_rng = rollout_rng
+        self.iteration = self._host_int(tree["iteration"])
+        self.farm.seed = self._host_int(tree["env_seed"]) + self._env_seed_offset
+        self._eval_seed = self._host_int(tree["eval_seed"])
         # Recurrent rollout state is not checkpointed (episode boundary is a
         # safe reset point); force re-init on next rollout.
         self._obs = None
+        # Re-read the best-eval marker so a resumed run never overwrites
+        # agent_best with a worse policy.
+        best_path = os.path.join(self.cfg.runtime.checkpoint_dir, "best.json")
+        if os.path.exists(best_path):
+            import json
+
+            with open(best_path) as f:
+                self.best_eval = float(json.load(f)["eval_reward"])
         return True
+
+    # ------------------------------------------------------------------ #
+    # Multi-host helpers
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _host_value(x):
+        """Host copy of a (possibly cross-process replicated) array."""
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    @classmethod
+    def _host_int(cls, x) -> int:
+        return int(cls._host_value(x))
+
+    def _eval_and_sync(self, episodes: int) -> float:
+        """Eval on the primary process only; broadcast the mean reward so
+        every process takes identical best-checkpoint decisions (the
+        subsequent orbax save is collective)."""
+        if self._nproc == 1:
+            return self.evaluate_agent(episodes)
+        from jax.experimental import multihost_utils
+
+        if self._proc == 0:
+            reward = self.evaluate_agent(episodes)
+        else:
+            reward = 0.0
+            self._eval_seed += episodes   # mirror _evaluate_batched's advance
+        return float(multihost_utils.broadcast_one_to_all(
+            np.asarray(reward, np.float32)))
 
     # ------------------------------------------------------------------ #
     # Master loop (Dreamer.py:324-372)
@@ -478,18 +657,19 @@ class Dreamer:
             wm_step = self._sharded_wm_step or self.trainer.wm_step
             for _ in range(cfg.random_iterations):
                 self.rollout_policy(random_policy=True)
-                if int(self.buf.size) >= cfg.sequence_length:
+                if self._host_int(self.buf.size) >= cfg.sequence_length:
                     self.state, wm_metrics = wm_step(
                         self.state, self.buf, self._learner_key())
             log("Kickstart done.")
-            reward = self.evaluate_agent(cfg.eval_episodes)
+            reward = self._eval_and_sync(cfg.eval_episodes)
             self.metrics.log_eval(0, reward)
+            self._maybe_save_best(reward)
             log(f"Initial eval reward: {reward:.2f}")
 
         # Guard against learning from unwritten buffer slots (the reference
         # raises ValueError, Buffer.py:33-34): prime the buffer synchronously
         # if the kickstart phase was skipped/short.
-        while int(self.buf.size) < cfg.sequence_length:
+        while self._host_int(self.buf.size) < cfg.sequence_length:
             self.rollout_policy(random_policy=True)
 
         executor = None
@@ -531,7 +711,12 @@ class Dreamer:
             self.iteration += 1
             # ONE host transfer for the whole metrics dict (float() per scalar
             # would cost a device round-trip each — ~26 per iteration).
-            step_metrics = jax.device_get(step_metrics)
+            if self._nproc > 1:
+                # device_get rejects non-fully-addressable (cross-process
+                # replicated) arrays; read each local replica instead.
+                step_metrics = jax.tree.map(self._host_value, step_metrics)
+            else:
+                step_metrics = jax.device_get(step_metrics)
             # Per-phase wall-clock throughput counters (SURVEY §5 tracing plan:
             # env-steps/s and grad-updates/s, the BASELINE metrics).  device_get
             # above blocks on the learner, so the timings cover real work; in
@@ -556,14 +741,16 @@ class Dreamer:
                 self.save_checkpoint()
                 self.metrics.save_npz()
             if self.iteration % cfg.eval_every == 0:
-                reward = self.evaluate_agent(cfg.eval_episodes)
+                reward = self._eval_and_sync(cfg.eval_episodes)
                 self.metrics.log_eval(self.iteration, reward)
+                self._maybe_save_best(reward)
                 log(f"iter {self.iteration}: eval reward {reward:.2f}, "
                     f"wm loss {float(step_metrics['wm/loss']):.3f}")
 
         log("Training Complete.")
-        reward = self.evaluate_agent(cfg.final_eval_episodes)
+        reward = self._eval_and_sync(cfg.final_eval_episodes)
         self.metrics.log_eval(self.iteration, reward)
+        self._maybe_save_best(reward)
         self.save_checkpoint()
         self.ckpt.wait_until_finished()
         self.metrics.save_npz()
