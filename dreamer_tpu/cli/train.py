@@ -32,6 +32,12 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Multi-host init BEFORE any other jax call (no-op single-process;
+    # auto-detects TPU pods / JAX_COORDINATOR_ADDRESS-style env vars).
+    from dreamer_tpu.parallel.distributed import init_distributed, is_primary
+
+    multiprocess = init_distributed()
+
     from dreamer_tpu.config import DreamerConfig
     from dreamer_tpu.orchestrator import Dreamer
 
@@ -48,10 +54,20 @@ def main(argv=None):
     if cfg.runtime.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    print(f"devices: {jax.devices()}")
+    if multiprocess and not cfg.runtime.mesh_shape:
+        # Default multi-host layout: pure data parallelism over every chip.
+        cfg = cfg.with_override(
+            f"runtime.mesh_shape=[{len(jax.devices())}, 1]")
+
+    if is_primary():
+        print(f"devices: {jax.devices()}")
+        if multiprocess:
+            print(f"multi-host: {jax.process_count()} processes, "
+                  f"process {jax.process_index()}")
     dreamer = Dreamer(cfg)
-    final_reward = dreamer.train(resume=args.resume)
-    print(f"Final eval reward: {final_reward:.2f}")
+    final_reward = dreamer.train(resume=args.resume, progress=is_primary())
+    if is_primary():
+        print(f"Final eval reward: {final_reward:.2f}")
     dreamer.metrics.save_npz()
     return final_reward
 

@@ -72,10 +72,37 @@ class MeshPlan:
     # ------------------------------------------------------------------ #
 
     def place_state(self, state: Any) -> Any:
-        return jax.device_put(state, self.state_shardings(state))
+        shardings = self.state_shardings(state)
+        if jax.process_count() == 1:
+            return jax.device_put(state, shardings)
+        # Multi-host: every process holds identical full host values (same
+        # init seed); assemble global arrays shard-by-shard.
+        return jax.tree.map(self._global_from_full, state, shardings)
+
+    @staticmethod
+    def _global_from_full(x, sharding):
+        """Build a (possibly cross-process) global array from a full host copy
+        present on every process."""
+        import numpy as np
+
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
 
     def place_buffer(self, buf: ReplayState) -> ReplayState:
-        return jax.device_put(buf, self.buffer_shardings(buf))
+        shardings = self.buffer_shardings(buf)
+        if jax.process_count() == 1:
+            return jax.device_put(buf, shardings)
+        return jax.tree.map(self._global_from_full, buf, shardings)
+
+    def make_buffer(self, buffer) -> ReplayState:
+        """Build the replay ring DIRECTLY on its mesh layout: jit of init
+        with out_shardings allocates each shard on its own device — no
+        multi-GB host staging array, and multi-host processes allocate only
+        their addressable shards."""
+        spec = jax.eval_shape(buffer.init_state)
+        shardings = self.buffer_shardings(spec)
+        return jax.jit(buffer.init_state, out_shardings=shardings)()
 
     def shard_train_iteration(self, trainer, state_exemplar, buffer_exemplar):
         """jit the Trainer's full iteration over the mesh.

@@ -110,10 +110,22 @@ class CheckpointManager:
         (mesh-resume; without it a sharded run would restore unsharded)."""
         restored = self._ckptr.restore(self._path(step), item=target)
         if shardings is not None:
-            return jax.tree.map(
-                lambda exemplar, val, sh: jax.device_put(
-                    np.asarray(val, dtype=getattr(exemplar, "dtype", None)), sh),
-                target, restored, shardings)
+            def _place(exemplar, val, sh):
+                if isinstance(val, jax.Array) and not val.is_fully_addressable:
+                    # Multi-host: orbax restored a global array directly onto
+                    # the target's shardings; re-fetching it is impossible
+                    # (and re-placement unnecessary).
+                    return val
+                arr = np.asarray(val, dtype=getattr(exemplar, "dtype", None))
+                if (getattr(sh, "is_fully_addressable", True)
+                        or jax.process_count() == 1):
+                    return jax.device_put(arr, sh)
+                # Multi-host, host-restored leaf: assemble the global array
+                # from this process's addressable shards.
+                return jax.make_array_from_callback(arr.shape, sh,
+                                                    lambda idx: arr[idx])
+
+            return jax.tree.map(_place, target, restored, shardings)
         # orbax may return numpy leaves; push them back to device arrays with
         # the exemplar's dtypes.
         return jax.tree.map(

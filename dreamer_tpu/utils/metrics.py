@@ -17,9 +17,14 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, csv_name: str = "metrics.csv"):
+    def __init__(self, log_dir: str, csv_name: str = "metrics.csv",
+                 enabled: bool = True):
+        """``enabled=False`` (non-primary processes of a multi-host run) turns
+        every file write into a no-op; metrics still accumulate in memory."""
+        self.enabled = enabled
         self.log_dir = os.path.abspath(log_dir)
-        os.makedirs(self.log_dir, exist_ok=True)
+        if enabled:
+            os.makedirs(self.log_dir, exist_ok=True)
         self.wm_losses: List[List[float]] = []   # per-iter list of per-epoch losses
         self.actor_losses: List[float] = []
         self.critic_losses: List[float] = []
@@ -62,6 +67,8 @@ class MetricsLogger:
                          "wall_time": time.time() - self._t0})
 
     def _write_csv(self, row: Dict[str, Any]):
+        if not self.enabled:
+            return
         if self._csv_writer is None:
             self._csv_fields = sorted(row.keys())
             self._csv_file = open(self._csv_path, "w", newline="")
@@ -88,6 +95,8 @@ class MetricsLogger:
 
     def save_npz(self, path: Optional[str] = None):
         """Reference-compatible dump (same keys as training_logs.npz)."""
+        if not self.enabled:
+            return None
         path = path or os.path.join(self.log_dir, "training_logs.npz")
         wm = (np.concatenate([np.asarray(r, np.float32) for r in self.wm_losses])
               if self.wm_losses else np.zeros((0,), np.float32))

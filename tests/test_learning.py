@@ -20,7 +20,7 @@ class TestLearning:
 
         for _ in range(cfg.train.random_iterations):
             d.rollout_policy(random_policy=True)
-            d.state, _ = d.trainer.wm_step(d.state, d.buf, d._next_key())
+            d.state, _ = d.trainer.wm_step(d.state, d.buf, d._learner_key())
         eval_before = d.evaluate_agent(4, max_steps=110)
 
         import jax
@@ -28,7 +28,7 @@ class TestLearning:
         wm_losses = []
         for i in range(cfg.train.training_iterations):
             d.rollout_policy(random_policy=False)
-            d.state, m = d.trainer.train_iteration(d.state, d.buf, d._next_key())
+            d.state, m = d.trainer.train_iteration(d.state, d.buf, d._learner_key())
             wm_losses.append(float(m["wm/loss"]))
         eval_after = d.evaluate_agent(4, max_steps=110)
 

@@ -194,7 +194,11 @@ class TestWeightBroadcast:
         d = Dreamer(smoke_cfg(tmp_path))
         cpu = jax.devices("cpu")[0]
         assert cpu in d.rng.devices()
-        assert cpu in d._next_key().devices()
+        assert cpu in d.rollout_rng.devices()
+        # Both streams split host-side (no accelerator round-trip per split).
+        with d._rng_lock:
+            _, k = __import__("jax").random.split(d.rollout_rng)
+        assert cpu in k.devices()
 
 
 class TestDeterminism:
