@@ -102,14 +102,21 @@ def main():
 
     ours, iter_seconds = measure_ours(args.iters, use_pallas=args.pallas,
                                       remat=args.remat)
-    baseline = get_baseline()
-    ref = baseline["reference_grad_updates_per_s"] if baseline else None
+    baseline = get_baseline() or {}
+    # Fair baseline: the torch reference in fp32 on this host's CPU (its own
+    # hard-coded fp16 autocast is software-emulated on CPU — ~30x slower than
+    # the same code in fp32 — so that path is kept only as a footnote in
+    # bench_baseline.json).  No reference GPU is available; the remaining
+    # hardware asymmetry (TPU vs host CPU) is stated in the unit string.
+    ref = baseline.get("reference_fp32_grad_updates_per_s") or baseline.get(
+        "reference_grad_updates_per_s")
     vs = ours / ref if ref else 1.0
     print(json.dumps({
         "metric": "grad_updates_per_s",
         "value": round(ours, 3),
         "unit": "updates/s (B=50,T=30, 2WM+2AC per iter; iter="
-                f"{iter_seconds*1000:.0f}ms)",
+                f"{iter_seconds*1000:.0f}ms; vs torch-ref fp32 on host CPU "
+                "— no reference GPU available)",
         "vs_baseline": round(vs, 2),
     }))
 

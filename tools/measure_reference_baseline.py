@@ -26,6 +26,13 @@ def main():
     parser.add_argument("--max-seconds", type=float, default=1800.0)
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--ref-dir", type=str, default="/root/reference")
+    parser.add_argument("--fp32", action="store_true",
+                        help="neutralise the reference's hard-coded fp16 "
+                        "autocast (WorldModel.py:162).  On CPU torch emulates "
+                        "fp16 in software (~30x slower than its own fp32), so "
+                        "the autocast path wildly understates what the "
+                        "reference can do on this host; the fp32 number is "
+                        "the FAIR same-hardware baseline for vs_baseline.")
     args = parser.parse_args()
 
     import numpy as np
@@ -34,6 +41,11 @@ def main():
     import importlib
     import torch
     import yaml
+
+    if args.fp32:
+        import contextlib
+
+        torch.autocast = lambda *a, **k: contextlib.nullcontext()
 
     Dreamer = importlib.import_module("Dreamer").Dreamer
     with open(os.path.join(args.ref_dir, "car_racer_config.yaml")) as f:
@@ -65,14 +77,22 @@ def main():
         if not per_update:
             return
         avg_update = sum(per_update) / len(per_update)
-        payload = {
-            "reference_grad_updates_per_s": 1.0 / avg_update,
+        key = ("reference_fp32_grad_updates_per_s" if args.fp32
+               else "reference_grad_updates_per_s")
+        payload = {}
+        if os.path.exists(CACHE):
+            with open(CACHE) as f:
+                payload = json.load(f)
+        payload.update({
+            key: 1.0 / avg_update,
+            f"{'fp32_' if args.fp32 else ''}wm_call_seconds": wm_times,
+            f"{'fp32_' if args.fp32 else ''}ac_call_seconds": ac_times,
             "device": str(device),
-            "wm_call_seconds": wm_times,
-            "ac_call_seconds": ac_times,
             "note": "PyTorch reference (youngers2006/Dreamer) WM/AC update "
-                    "timings at B=50 T=30 (car_racer_config.yaml), this host",
-        }
+                    "timings at B=50 T=30 (car_racer_config.yaml), this host. "
+                    "fp32_* = autocast neutralised (fair CPU mode); plain = "
+                    "its own fp16-autocast path (software-emulated on CPU).",
+        })
         with open(CACHE, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload), flush=True)
