@@ -30,7 +30,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
 def measure_ours(num_iters: int = 10, use_pallas: bool = False,
-                 remat: bool = False):
+                 remat: bool = False, pallas_imagine: bool = False,
+                 batch: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -42,8 +43,10 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
     # affect update cost, and 200k obs = 2.3 GB of pointless zero-init).
     cfg = dataclasses.replace(
         cfg,
-        train=dataclasses.replace(cfg.train, buffer_size=4096),
+        train=dataclasses.replace(cfg.train, buffer_size=4096,
+                                  batch_size=batch or cfg.train.batch_size),
         runtime=dataclasses.replace(cfg.runtime, use_pallas_gru=use_pallas,
+                                    use_pallas_imagine=pallas_imagine,
                                     remat_decoder=remat))
     from dreamer_tpu.train import Trainer
 
@@ -95,13 +98,19 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas GRU cell")
+    parser.add_argument("--pallas-imagine", action="store_true",
+                        help="whole-rollout Pallas imagination forward")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override train.batch_size")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize conv towers in backward")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
     ours, iter_seconds = measure_ours(args.iters, use_pallas=args.pallas,
-                                      remat=args.remat)
+                                      remat=args.remat,
+                                      pallas_imagine=args.pallas_imagine,
+                                      batch=args.batch)
     baseline = get_baseline() or {}
     # Fair baseline: the torch reference in fp32 on this host's CPU (its own
     # hard-coded fp16 autocast is software-emulated on CPU — ~30x slower than

@@ -118,6 +118,12 @@ class RuntimeConfig:
 
     compute_dtype: str = "bfloat16"       # matmul/conv compute dtype; 'float32' for parity tests
     use_pallas_gru: bool = False          # fused Pallas GRU cell inside lax.scan
+    # Whole-rollout Pallas imagination forward: the H-step dream (actor +
+    # GRU + prior + sampling) as ONE grid-over-time kernel with weights
+    # VMEM-resident (ops/imagine_pallas); backward stays the deferred-dW XLA
+    # scan.  Requires fused_scan_grads and a TPU backend; sampled rollouts
+    # are distribution-identical but not bit-equal to the XLA scan.
+    use_pallas_imagine: bool = False
     data_axis: str = "data"               # mesh axis names
     model_axis: str = "model"
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None = single device

@@ -328,6 +328,34 @@ def _actor_grads(ap, acts, dtaps):
 imagine_scan.defvjp(_imagine_fwd, _imagine_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def imagine_scan_pallas(cfg: _ImagineCfg, params, h0, z0, eps, gum):
+    """imagine_scan with the FORWARD as one whole-rollout Pallas kernel
+    (ops/imagine_pallas: grid over time, weights VMEM-resident) and the SAME
+    deferred-dW backward — its residuals are only (params, h0, z0, eps, gum,
+    h_seq, z_seq), all of which the kernel emits.
+
+    Per-step math is op-equivalent; whole-rollout outputs are not bit-equal
+    to the XLA scan (reduction-order noise amplifies through the recurrence
+    and can eventually flip a sampled category) — single-step parity is exact
+    on TPU (tools/try_imagine_pallas --horizon 1) and whole-scan parity holds
+    in interpret mode (tests/test_imagine_pallas.py)."""
+    return _imagine_pallas_fwd(cfg, params, h0, z0, eps, gum)[0]
+
+
+def _imagine_pallas_fwd(cfg, params, h0, z0, eps, gum):
+    from dreamer_tpu.ops.imagine_pallas import imagine_rollout_pallas
+
+    out = imagine_rollout_pallas(
+        params, h0, z0, eps, gum, rows=cfg.rows, classes=cfg.classes,
+        unimix=cfg.unimix, min_std=cfg.min_std, dtype=cfg.dtype)
+    h_seq, z_seq = out[2], out[3]
+    return out, (params, h0, z0, eps, gum, h_seq, z_seq)
+
+
+imagine_scan_pallas.defvjp(_imagine_pallas_fwd, _imagine_bwd)
+
+
 # --------------------------------------------------------------------------- #
 # Posterior (observe) scan (rssm.observe_sequence fused path)
 # --------------------------------------------------------------------------- #

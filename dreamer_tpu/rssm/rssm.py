@@ -67,6 +67,9 @@ class RSSM:
         # Sigma floor of the actor evaluated inside imagine (must match
         # Actor.min_std so the fused scan reproduces the flax module exactly).
         self.actor_min_std = actor_min_std
+        # Whole-rollout Pallas imagination forward (ops/imagine_pallas):
+        # requires fused_scan_grads (shares its backward) and a TPU backend.
+        self.use_pallas_imagine = False
         self.dtype = dtype
         # Deferred-weight-gradient custom-VJP scans (ops/fused_scans.py):
         # same math + same RNG stream, but the backward pass computes every
@@ -326,7 +329,8 @@ class RSSM:
         draw is argmax(log probs + gumbel(k_lat)) — identical to
         jax.random.categorical(k_lat, log probs).
         """
-        from dreamer_tpu.ops.fused_scans import _ImagineCfg, imagine_scan
+        from dreamer_tpu.ops.fused_scans import (_ImagineCfg, imagine_scan,
+                                                 imagine_scan_pallas)
 
         c = self.cfg
         B = h0.shape[0]
@@ -343,7 +347,9 @@ class RSSM:
                            min_std=self.actor_min_std)
         sub = {"gru": params["gru"], "dyn": params["dyn_head"],
                "actor": actor_params}
-        h_fin, z_fin, h_seq, z_seq, a_seq, mu_seq, sig_seq = imagine_scan(
+        scan_fn = (imagine_scan_pallas if self.use_pallas_imagine
+                   else imagine_scan)
+        h_fin, z_fin, h_seq, z_seq, a_seq, mu_seq, sig_seq = scan_fn(
             icfg, sub, h0, z0, eps, gum)
         return self._assemble_trajectory(params, h_fin, z_fin, h_seq, z_seq,
                                          a_seq, mu_seq, sig_seq)

@@ -41,6 +41,11 @@ class Trainer:
                          scan_unroll=cfg.runtime.scan_unroll,
                          fused_scan_grads=cfg.runtime.fused_scan_grads,
                          actor_min_std=cfg.agent.min_std)
+        if cfg.runtime.use_pallas_imagine:
+            assert cfg.runtime.fused_scan_grads, (
+                "use_pallas_imagine shares the fused scans' deferred-dW "
+                "backward; enable runtime.fused_scan_grads")
+            self.rssm.use_pallas_imagine = True
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
                                    cfg.env.action_dim, cfg.wm.obs_size,
