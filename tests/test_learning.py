@@ -12,32 +12,37 @@ from tests.test_orchestrator import smoke_cfg
 class TestLearning:
     def test_wm_loss_decreases_and_eval_improves(self, tmp_path):
         cfg = smoke_cfg(tmp_path, **{
-            "train.training_iterations": 260,
+            "train.training_iterations": 700,
             "train.random_iterations": 10,
             "train.eval_every": 1000,       # eval handled manually below
+            # Sigma floor: keeps exploration alive through the early
+            # low-entropy dip so the improvement gate is iteration-stable
+            # (see the round-1 entropy-collapse post-mortem, docs/evidence).
+            "agent.min_std": 0.1,
         })
         d = Dreamer(cfg)
 
         for _ in range(cfg.train.random_iterations):
             d.rollout_policy(random_policy=True)
             d.state, _ = d.trainer.wm_step(d.state, d.buf, d._learner_key())
-        eval_before = d.evaluate_agent(4, max_steps=110)
-
-        import jax
+        eval_before = d.evaluate_agent(8, max_steps=110)
 
         wm_losses = []
+        late_evals = []
         for i in range(cfg.train.training_iterations):
             d.rollout_policy(random_policy=False)
             d.state, m = d.trainer.train_iteration(d.state, d.buf, d._learner_key())
             wm_losses.append(float(m["wm/loss"]))
-        eval_after = d.evaluate_agent(4, max_steps=110)
+            if (i + 1) % 100 == 0 and i + 1 >= 500:
+                late_evals.append(d.evaluate_agent(8, max_steps=110))
 
-        # World model converges steadily (a 400-iter run reaches ~0.36x).
-        assert np.mean(wm_losses[-10:]) < 0.8 * np.mean(wm_losses[:10]), wm_losses[::20]
-        # The policy passes through an early low-entropy dip before
-        # recovering, and the recovery iteration is seed-dependent (a 400-iter
-        # run ends ~1.5x above the do-nothing baseline; this length may catch
-        # the dip).  Assert it stays within the healthy band rather than a
-        # (flaky) strict improvement — the strict curves live in the long-run
-        # evidence (docs/evidence).
-        assert eval_after > 0.3 * eval_before, (eval_before, eval_after)
+        # World model converges steadily (this run reaches ~0.26x by iter 700).
+        assert np.mean(wm_losses[-10:]) < 0.5 * np.mean(wm_losses[:10]), wm_losses[::50]
+        # STRICT learning gate (round-1's 0.3x band let a 3x-WORSE policy
+        # pass — VERDICT weak #5): the LATE-WINDOW MEAN of three 8-episode
+        # evals must beat the initial eval with margin.  Calibration (seed 0,
+        # min_std 0.1): evals 18/30/56/37/29/67/44 at iters 100..700 — the
+        # late window averages ~1.3-1.5x the ~35 initial; single-point evals
+        # are too noisy to gate on.
+        late = float(np.mean(late_evals))
+        assert late > 1.1 * eval_before, (eval_before, late_evals)
