@@ -80,7 +80,10 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
         times.append((time.perf_counter() - t0) / num_iters)
     per_iter = sorted(times)[1]
 
-    updates_per_iter = cfg.train.wm_epochs + cfg.train.ac_epochs
+    # One "update" = one optimizer step, matching the orchestrator's counter
+    # (orchestrator/dreamer.py): each WM epoch steps the WM optimizer once;
+    # each AC epoch steps BOTH the actor and critic optimizers.
+    updates_per_iter = cfg.train.wm_epochs + 2 * cfg.train.ac_epochs
     return updates_per_iter / per_iter, per_iter
 
 
@@ -90,6 +93,21 @@ def get_baseline():
         with open(BASELINE_CACHE) as f:
             return json.load(f)
     return None
+
+
+def unified_ref_updates_per_s(baseline):
+    """Reference optimizer-steps/s under the unified counting (one update =
+    one optimizer step): each reference iteration runs one train_world_model()
+    call (WM_epochs=2 WM steps) + one train_Agent() call (AC_epochs=2 epochs,
+    each stepping BOTH the actor and critic optimizers) = 6 steps.  The cache
+    stores per-call wall times; prefer the fp32 (fair-CPU) pair."""
+    for pfx in ("fp32_", ""):
+        wm = baseline.get(f"{pfx}wm_call_seconds")
+        ac = baseline.get(f"{pfx}ac_call_seconds")
+        if wm and ac:
+            return 6.0 / (min(wm) + min(ac))
+    return baseline.get("reference_fp32_grad_updates_per_s") or baseline.get(
+        "reference_grad_updates_per_s")
 
 
 def main():
@@ -117,13 +135,14 @@ def main():
     # the same code in fp32 — so that path is kept only as a footnote in
     # bench_baseline.json).  No reference GPU is available; the remaining
     # hardware asymmetry (TPU vs host CPU) is stated in the unit string.
-    ref = baseline.get("reference_fp32_grad_updates_per_s") or baseline.get(
-        "reference_grad_updates_per_s")
+    ref = unified_ref_updates_per_s(baseline) if baseline else None
     vs = ours / ref if ref else 1.0
+    bsz = args.batch or 50
     print(json.dumps({
         "metric": "grad_updates_per_s",
         "value": round(ours, 3),
-        "unit": "updates/s (B=50,T=30, 2WM+2AC per iter; iter="
+        "unit": f"optimizer-steps/s (B={bsz},T=30; 6 steps/iter = 2 WM + "
+                "2 AC epochs, each AC epoch steps actor+critic; iter="
                 f"{iter_seconds*1000:.0f}ms; vs torch-ref fp32 on host CPU "
                 "— no reference GPU available)",
         "vs_baseline": round(vs, 2),

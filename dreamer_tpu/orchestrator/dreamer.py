@@ -173,6 +173,8 @@ class Dreamer:
         # collective (orbax coordinates the shard writes across processes).
         self.metrics = MetricsLogger(cfg.runtime.log_dir,
                                      enabled=self._proc == 0)
+        if self._proc == 0:
+            self._write_run_meta()
         self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir,
                                       use_async=cfg.runtime.async_checkpoint)
         # Best-eval policy retention: the round-1 long run's peak checkpoint
@@ -181,6 +183,42 @@ class Dreamer:
         self.best_eval = float("-inf")
 
     # ------------------------------------------------------------------ #
+
+    def _write_run_meta(self):
+        """Reproducibility record (SURVEY §5 observability): the RESOLVED
+        config (post-overrides), git SHA/dirty flag, argv, backend, and device
+        list, written to <log_dir>/run_meta.json at construction so every run
+        directory states exactly what produced it."""
+        import json
+        import subprocess
+        import sys
+
+        meta = {
+            "config": self.cfg.to_dict(),
+            "argv": list(sys.argv),
+            "time_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "jax_backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "processes": self._nproc,
+            "git_sha": None,
+            "git_dirty": None,
+        }
+        try:
+            repo = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            sha = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                                 capture_output=True, text=True, timeout=10)
+            if sha.returncode == 0:
+                meta["git_sha"] = sha.stdout.strip()
+                meta["git_dirty"] = bool(subprocess.run(
+                    ["git", "-C", repo, "status", "--porcelain"],
+                    capture_output=True, text=True,
+                    timeout=10).stdout.strip())
+        except Exception:
+            pass
+        os.makedirs(self.metrics.log_dir, exist_ok=True)
+        with open(os.path.join(self.metrics.log_dir, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, default=str)
 
     def _learner_key(self) -> jax.Array:
         """A fresh key placed where the learner programs run (async copy).
