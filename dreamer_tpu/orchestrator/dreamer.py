@@ -480,7 +480,8 @@ class Dreamer:
                     [rows_ep[keep], np.full(bucket - len(keep), -1)])
         return float(np.mean(totals))
 
-    def _run_episode(self, env, seed: int, max_steps: int, render: bool = False) -> float:
+    def _run_episode(self, env, seed: int, max_steps: int, render: bool = False,
+                     frames: Optional[List] = None) -> float:
         t = self._policy_trainer
         wm_p, actor_p = self._policy_params()
         obs, _ = env.reset(seed=seed)
@@ -488,8 +489,10 @@ class Dreamer:
         h, z = t.policy_reset(wm_p, obs, self._rollout_key())
         total = 0.0
         for _ in range(max_steps):
-            if render:
-                env.render()
+            if render or frames is not None:
+                frame = env.render()
+                if frames is not None and frame is not None:
+                    frames.append(np.asarray(frame))
             action = t.policy_act(actor_p, h, z,
                                   self._rollout_key(), deterministic=True)
             obs_next, reward, term, trunc, _ = env.step(np.asarray(action)[0])
@@ -502,11 +505,13 @@ class Dreamer:
         return total
 
     def run(self, env=None, env_seed: int = 0, render: bool = True,
-            max_steps: int = 10_000) -> float:
+            max_steps: int = 10_000, frames: Optional[List] = None) -> float:
         """Single rendered episode with the deterministic policy
-        (reference Dreamer.Run)."""
+        (reference Dreamer.Run, Dreamer.py:374-401).  Pass ``frames=[]`` to
+        capture the rendered RGB frames (tools/render_demo.py)."""
         env = env or self.eval_env
-        return self._run_episode(env, env_seed, max_steps, render=render)
+        return self._run_episode(env, env_seed, max_steps, render=render,
+                                 frames=frames)
 
     # ------------------------------------------------------------------ #
     # Checkpointing — full resume (SURVEY §5)
@@ -576,9 +581,18 @@ class Dreamer:
 
     def load_agent(self, path: str):
         """Weights-only import (the reference's load_pretrained_dreamer,
-        Dreamer.py:289-290)."""
-        tree = self.ckpt._ckptr.restore(os.path.abspath(path),
-                                        item=self._agent_params_tree())
+        Dreamer.py:289-290).  Restores as host numpy then re-places onto this
+        process's devices — the export may come from a different platform
+        (e.g. TPU-trained weights loaded into a CPU-only demo process), where
+        the saved shardings cannot be reconstructed."""
+        target = self._agent_params_tree()
+        restore_args = jax.tree.map(
+            lambda _: self.ckpt._ocp.RestoreArgs(restore_type=np.ndarray),
+            target)
+        tree = self.ckpt._ckptr.restore(os.path.abspath(path), item=target,
+                                        restore_args=restore_args)
+        tree = jax.tree.map(
+            lambda ex, v: jnp.asarray(v, dtype=ex.dtype), target, tree)
         self.state = self.state._replace(
             wm=self.state.wm._replace(params=tree["wm"]),
             ac=self.state.ac._replace(
