@@ -31,23 +31,27 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 def measure_ours(num_iters: int = 10, use_pallas: bool = False,
                  remat: bool = False, pallas_imagine: bool = False,
-                 batch: int = 0):
+                 batch: int = 0, cfg_path: str = "", with_cost: bool = False):
     import jax
     import jax.numpy as jnp
 
     from dreamer_tpu.config import DreamerConfig
     import dataclasses
 
-    cfg = DreamerConfig()
-    # Full flagship model/batch; small replay capacity (capacity does not
-    # affect update cost, and 200k obs = 2.3 GB of pointless zero-init).
+    cfg = DreamerConfig.from_yaml(cfg_path) if cfg_path else DreamerConfig()
+    # Full model shapes from the config; small replay capacity and a 1-env
+    # ring (capacity/farm size do not affect update cost, and 200k obs =
+    # 2.3 GB of pointless zero-init).  Single-chip: clear any mesh plan.
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(cfg.train, buffer_size=4096,
                                   batch_size=batch or cfg.train.batch_size),
+        env=dataclasses.replace(cfg.env, num_envs=1),
         runtime=dataclasses.replace(cfg.runtime, use_pallas_gru=use_pallas,
                                     use_pallas_imagine=pallas_imagine,
-                                    remat_decoder=remat))
+                                    remat_decoder=remat, mesh_shape=None,
+                                    rollout_device="default",
+                                    async_rollout=False))
     from dreamer_tpu.train import Trainer
 
     trainer = Trainer(cfg, donate=True)
@@ -55,12 +59,29 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
     state = trainer.init_state(key)
     buf = trainer.buffer.init_state()
     n = cfg.train.sequence_length + 14
-    obs = (jax.random.uniform(key, (1, n, 64, 64, 3)) * 255).astype(jnp.uint8)
+    h, w = cfg.wm.obs_size
+    adim = cfg.env.action_dim
+    obs = (jax.random.uniform(key, (1, n, h, w, 3)) * 255).astype(jnp.uint8)
     buf = trainer.buffer.add_batch(
         buf, obs,
-        jax.random.uniform(key, (1, n, 3), minval=-1, maxval=1),
+        jax.random.uniform(key, (1, n, adim), minval=-1, maxval=1),
         jnp.sin(jnp.arange(n, dtype=jnp.float32))[None],
         jnp.ones((1, n), jnp.float32))
+
+    cost = None
+    if with_cost:
+        # XLA cost analysis of the whole fused iteration: FLOPs + HBM bytes
+        # give arithmetic intensity and, with the measured wall time,
+        # sustained %HBM-bandwidth and %bf16-peak (PERFORMANCE.md roofline).
+        try:
+            ca = (jax.jit(trainer._train_iteration)
+                  .lower(state, buf, jax.random.PRNGKey(1))
+                  .compile().cost_analysis())
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            cost = {"gflop": ca.get("flops", 0.0) / 1e9,
+                    "gbytes": ca.get("bytes accessed", 0.0) / 1e9}
+        except Exception:
+            cost = None
 
     # Warmup/compile.
     state, m = trainer.train_iteration(state, buf, jax.random.PRNGKey(1))
@@ -84,7 +105,7 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
     # (orchestrator/dreamer.py): each WM epoch steps the WM optimizer once;
     # each AC epoch steps BOTH the actor and critic optimizers.
     updates_per_iter = cfg.train.wm_epochs + 2 * cfg.train.ac_epochs
-    return updates_per_iter / per_iter, per_iter
+    return updates_per_iter / per_iter, per_iter, cost
 
 
 def get_baseline():
@@ -123,12 +144,45 @@ def main():
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize conv towers in backward")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--config", type=str, default="",
+                        help="bench the model/train shapes of this YAML "
+                             "config (e.g. configs/drone.yaml) instead of "
+                             "the flagship defaults")
+    parser.add_argument("--sweep", type=str, default="",
+                        help="comma-separated batch sizes; prints one JSON "
+                             "row per point with XLA cost analysis "
+                             "(HBM%%/MXU%% at v5e peaks) — not the driver's "
+                             "single-line contract")
     args = parser.parse_args()
 
-    ours, iter_seconds = measure_ours(args.iters, use_pallas=args.pallas,
-                                      remat=args.remat,
-                                      pallas_imagine=args.pallas_imagine,
-                                      batch=args.batch)
+    if args.sweep:
+        # v5e single-chip peaks: ~819 GB/s HBM, ~197 TFLOP/s bf16.
+        HBM_GBPS, BF16_TFLOPS = 819.0, 197.0
+        for b in [int(x) for x in args.sweep.split(",")]:
+            ups, it_s, cost = measure_ours(
+                args.iters, use_pallas=args.pallas, remat=args.remat,
+                pallas_imagine=args.pallas_imagine, batch=b,
+                cfg_path=args.config, with_cost=True)
+            row = {"config": args.config or "configs/car_racer.yaml(defaults)",
+                   "batch": b,
+                   "pallas": bool(args.pallas or args.pallas_imagine),
+                   "grad_updates_per_s": round(ups, 2),
+                   "iter_ms": round(it_s * 1000, 1)}
+            if cost:
+                row.update({
+                    "gflop_per_iter": round(cost["gflop"], 1),
+                    "gbytes_per_iter": round(cost["gbytes"], 1),
+                    "hbm_pct": round(100 * cost["gbytes"] / it_s / HBM_GBPS, 1),
+                    "mxu_pct": round(100 * cost["gflop"] / 1e3 / it_s
+                                     / BF16_TFLOPS, 1)})
+            print(json.dumps(row), flush=True)
+        return
+
+    ours, iter_seconds, _ = measure_ours(args.iters, use_pallas=args.pallas,
+                                         remat=args.remat,
+                                         pallas_imagine=args.pallas_imagine,
+                                         batch=args.batch,
+                                         cfg_path=args.config)
     baseline = get_baseline() or {}
     # Fair baseline: the torch reference in fp32 on this host's CPU (its own
     # hard-coded fp16 autocast is software-emulated on CPU — ~30x slower than
