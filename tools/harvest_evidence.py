@@ -53,6 +53,27 @@ def main():
         "final_wm_loss": float(train_rows[-1]["wm/loss"]) if train_rows else None,
         "npz_keys": {k: list(np.asarray(data[k]).shape) for k in data.files},
     }
+    # Policy-entropy health: the round-1 collapse showed as entropy falling
+    # monotonically to ~-7 (sigma pinned at the reference's 1e-3 floor).
+    # Record window means so collapse-freedom is checkable from the summary.
+    ent = np.array([float(r["ac/entropy"]) for r in train_rows
+                    if r.get("ac/entropy")])
+    if ent.size:
+        w = max(1, ent.size // 10)
+        summary["entropy_windows"] = {
+            "first": round(float(ent[:w].mean()), 3),
+            "mid": round(float(ent[ent.size // 2 - w // 2:
+                                   ent.size // 2 + w // 2 + 1].mean()), 3),
+            "last": round(float(ent[-w:].mean()), 3),
+            "min": round(float(ent.min()), 3),
+        }
+    # Reproducibility passthrough (run_meta.json is written by the
+    # orchestrator since round 3).
+    meta_path = os.path.join(logs, "run_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        summary["git_sha"] = meta.get("git_sha")
+        summary["config_overrides_source"] = meta.get("argv")
     with open(os.path.join(args.out, f"{args.name}_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     # keep the raw npz alongside for reproducibility
