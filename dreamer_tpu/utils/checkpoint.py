@@ -108,7 +108,24 @@ class CheckpointManager:
         ``shardings``: optional pytree of jax.sharding.Sharding matching
         ``target`` — leaves are placed directly onto their mesh shardings
         (mesh-resume; without it a sharded run would restore unsharded)."""
-        restored = self._ckptr.restore(self._path(step), item=target)
+        if jax.process_count() == 1:
+            # Topology-independent restore: deserialize every leaf as host
+            # numpy and re-place below.  Without explicit restore_args orbax
+            # reads the checkpoint's sharding file and resolves saved device
+            # strings against jax.local_devices() — which breaks whenever the
+            # restore topology differs from the save topology (e.g. a leaf
+            # saved on the host CPU device "TFRT_CPU_0" while rollout_device
+            # was 'cpu' cannot be resolved under the axon TPU platform, where
+            # local_devices() lists only the TPU chip).
+            restore_args = jax.tree.map(
+                lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray),
+                target)
+            restored = self._ckptr.restore(self._path(step), item=target,
+                                           restore_args=restore_args)
+        else:
+            # Multi-host: restore global arrays in place (same topology by
+            # construction — every process participates in the restore).
+            restored = self._ckptr.restore(self._path(step), item=target)
         if shardings is not None:
             def _place(exemplar, val, sh):
                 if isinstance(val, jax.Array) and not val.is_fully_addressable:

@@ -74,6 +74,36 @@ class TestCheckpointPruning:
         np.testing.assert_array_equal(np.asarray(restored["x"]), np.arange(3))
 
 
+class TestTopologyIndependentRestore:
+    def test_restore_without_sharding_file(self, tmp_path):
+        """Single-process restore must not depend on the checkpoint's saved
+        device/sharding metadata: a run checkpointed with leaves on one
+        topology (e.g. rollout RNG on TFRT_CPU_0 under rollout_device='cpu')
+        must resume on a different one (axon TPU, where that device name does
+        not resolve).  Deleting orbax's _sharding file proves the restore
+        path never consults it."""
+        import os
+
+        import jax
+
+        from dreamer_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path), keep_last=2)
+        tree = {"x": jax.numpy.arange(5, dtype=jax.numpy.float32),
+                "k": jax.random.PRNGKey(7)}
+        mgr.save(1, tree)
+        sharding_file = os.path.join(str(tmp_path), "ckpt_1", "_sharding")
+        if os.path.exists(sharding_file):
+            os.remove(sharding_file)
+        target = {"x": jax.numpy.zeros(5, jax.numpy.float32),
+                  "k": jax.random.PRNGKey(0)}
+        restored = mgr.restore(1, target)
+        np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                      np.arange(5, dtype=np.float32))
+        np.testing.assert_array_equal(np.asarray(restored["k"]),
+                                      np.asarray(jax.random.PRNGKey(7)))
+
+
 class TestAsyncCheckpoint:
     def test_async_save_restore(self, tmp_path):
         from dreamer_tpu.utils.checkpoint import CheckpointManager
