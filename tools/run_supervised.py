@@ -34,10 +34,17 @@ def main():
             cmd.append("--resume")
         cmd += extra
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
+        started = time.monotonic()
         proc = subprocess.run(cmd)
+        ran_for = time.monotonic() - started
         if proc.returncode == 0:
             print("[supervisor] training completed", flush=True)
             return 0
+        if ran_for > 600.0:
+            # The child trained for a while before dying (transient failure,
+            # e.g. an accelerator-tunnel drop) — restart promptly instead of
+            # inheriting a backoff accumulated by earlier fast crashes.
+            backoff = 5.0
         print(f"[supervisor] exit code {proc.returncode}; restarting in "
               f"{backoff:.0f}s (resume from latest checkpoint)", flush=True)
         time.sleep(backoff)
