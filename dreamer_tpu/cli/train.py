@@ -65,6 +65,13 @@ def main(argv=None):
             print(f"multi-host: {jax.process_count()} processes, "
                   f"process {jax.process_index()}")
     dreamer = Dreamer(cfg)
+
+    # Graceful preemption: SIGTERM checkpoints after the current iteration
+    # and exits 0 (zero lost progress; the supervisor sees a clean finish).
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: dreamer.request_stop())
+
     final_reward = dreamer.train(resume=args.resume, progress=is_primary())
     if is_primary():
         print(f"Final eval reward: {final_reward:.2f}")

@@ -95,6 +95,11 @@ class Dreamer:
         self.state = self.trainer.init_state(self._learner_key())
         self.buf = None   # built below (globally, under a mesh plan)
         self.iteration = 0
+        # Graceful-preemption flag (set by request_stop, e.g. from a SIGTERM
+        # handler): the train loop finishes the current iteration, writes a
+        # checkpoint, and returns cleanly — so an externally stopped run
+        # loses zero progress instead of up to checkpoint_every iterations.
+        self._stop_requested = False
 
         import functools
 
@@ -662,6 +667,24 @@ class Dreamer:
                 self.best_eval = float(json.load(f)["eval_reward"])
         return True
 
+    def request_stop(self):
+        """Ask the train loop to checkpoint and exit after the current
+        iteration (signal-safe: only flips a flag).  Under multi-host, call
+        on the primary process — the flag is broadcast so every process takes
+        the same (collective) checkpoint-and-exit path."""
+        self._stop_requested = True
+
+    def _should_stop(self) -> bool:
+        if self._nproc == 1:
+            return self._stop_requested
+        # Processes must agree (save_checkpoint is collective): process 0 is
+        # the stop authority.  One tiny host broadcast per iteration — noise
+        # next to the collective learner step.
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(self._stop_requested if self._proc == 0 else False)))
+
     # ------------------------------------------------------------------ #
     # Multi-host helpers
     # ------------------------------------------------------------------ #
@@ -789,6 +812,13 @@ class Dreamer:
             self.metrics.log_iteration(
                 self.iteration, {**roll_metrics, **step_metrics, **phase_s})
 
+            if self._should_stop():
+                log(f"Stop requested; checkpointing at iter {self.iteration} "
+                    "and exiting cleanly.")
+                self.save_checkpoint()
+                self.ckpt.wait_until_finished()
+                self.metrics.save_npz()
+                return self.best_eval
             if self.iteration % cfg.checkpoint_every == 0:
                 self.save_checkpoint()
                 self.metrics.save_npz()

@@ -104,6 +104,55 @@ class TestTopologyIndependentRestore:
                                       np.asarray(jax.random.PRNGKey(7)))
 
 
+class TestGracefulShutdown:
+    def test_sigterm_checkpoints_and_exits_zero(self, tmp_path):
+        """SIGTERM must finish the current iteration, write a checkpoint, and
+        exit 0 — zero lost progress on preemption (vs up to checkpoint_every
+        iterations with a hard kill)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        ckpt_dir = tmp_path / "models"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "dreamer_tpu.cli.train",
+             "--config", "configs/fake_smoke.yaml", "--platform", "cpu",
+             "--overrides",
+             "train.training_iterations=100000",
+             "train.checkpoint_every=100000",
+             "train.eval_every=100000",
+             "train.random_iterations=2",
+             f"runtime.log_dir={tmp_path / 'logs'}",
+             f"runtime.checkpoint_dir={ckpt_dir}",
+             "runtime.rollout_device=cpu"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        try:
+            # Wait until the training loop has made some iterations (the
+            # metrics csv is appended once per iteration).
+            csv_path = tmp_path / "logs" / "metrics.csv"
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if csv_path.exists() and len(csv_path.read_text().splitlines()) > 3:
+                    break
+                time.sleep(1.0)
+            else:
+                raise AssertionError("trainer never started iterating")
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert rc == 0
+        latest = ckpt_dir / "LATEST"
+        assert latest.exists(), "graceful stop must leave a checkpoint"
+        step = int(latest.read_text().strip())
+        # Only the SIGTERM path can have saved (cadences are 100000) and the
+        # run cannot have finished.
+        assert 0 < step < 100000
+
+
 class TestAsyncCheckpoint:
     def test_async_save_restore(self, tmp_path):
         from dreamer_tpu.utils.checkpoint import CheckpointManager
