@@ -73,8 +73,12 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
         # XLA cost analysis of the whole fused iteration: FLOPs + HBM bytes
         # give arithmetic intensity and, with the measured wall time,
         # sustained %HBM-bandwidth and %bf16-peak (PERFORMANCE.md roofline).
+        # Lower through the SAME jitted (donating) callable the timing loop
+        # uses — a fresh jax.jit here would have different aliasing options
+        # and force a second full compile per sweep point (minutes each over
+        # the remote-compile tunnel).
         try:
-            ca = (jax.jit(trainer._train_iteration)
+            ca = (trainer.train_iteration
                   .lower(state, buf, jax.random.PRNGKey(1))
                   .compile().cost_analysis())
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -105,7 +109,11 @@ def measure_ours(num_iters: int = 10, use_pallas: bool = False,
     # (orchestrator/dreamer.py): each WM epoch steps the WM optimizer once;
     # each AC epoch steps BOTH the actor and critic optimizers.
     updates_per_iter = cfg.train.wm_epochs + 2 * cfg.train.ac_epochs
-    return updates_per_iter / per_iter, per_iter, cost
+    resolved = {"batch": cfg.train.batch_size,
+                "seq_t": cfg.train.horizon,
+                "wm_epochs": cfg.train.wm_epochs,
+                "ac_epochs": cfg.train.ac_epochs}
+    return updates_per_iter / per_iter, per_iter, cost, resolved
 
 
 def get_baseline():
@@ -159,13 +167,14 @@ def main():
         # v5e single-chip peaks: ~819 GB/s HBM, ~197 TFLOP/s bf16.
         HBM_GBPS, BF16_TFLOPS = 819.0, 197.0
         for b in [int(x) for x in args.sweep.split(",")]:
-            ups, it_s, cost = measure_ours(
+            ups, it_s, cost, resolved = measure_ours(
                 args.iters, use_pallas=args.pallas, remat=args.remat,
                 pallas_imagine=args.pallas_imagine, batch=b,
                 cfg_path=args.config, with_cost=True)
             row = {"config": args.config or "configs/car_racer.yaml(defaults)",
-                   "batch": b,
-                   "pallas": bool(args.pallas or args.pallas_imagine),
+                   **resolved,
+                   "pallas_gru": bool(args.pallas),
+                   "pallas_imagine": bool(args.pallas_imagine),
                    "grad_updates_per_s": round(ups, 2),
                    "iter_ms": round(it_s * 1000, 1)}
             if cost:
@@ -178,11 +187,10 @@ def main():
             print(json.dumps(row), flush=True)
         return
 
-    ours, iter_seconds, _ = measure_ours(args.iters, use_pallas=args.pallas,
-                                         remat=args.remat,
-                                         pallas_imagine=args.pallas_imagine,
-                                         batch=args.batch,
-                                         cfg_path=args.config)
+    ours, iter_seconds, _, resolved = measure_ours(
+        args.iters, use_pallas=args.pallas, remat=args.remat,
+        pallas_imagine=args.pallas_imagine, batch=args.batch,
+        cfg_path=args.config)
     baseline = get_baseline() or {}
     # Fair baseline: the torch reference in fp32 on this host's CPU (its own
     # hard-coded fp16 autocast is software-emulated on CPU — ~30x slower than
@@ -191,12 +199,14 @@ def main():
     # hardware asymmetry (TPU vs host CPU) is stated in the unit string.
     ref = unified_ref_updates_per_s(baseline) if baseline else None
     vs = ours / ref if ref else 1.0
-    bsz = args.batch or 50
+    n_up = resolved["wm_epochs"] + 2 * resolved["ac_epochs"]
     print(json.dumps({
         "metric": "grad_updates_per_s",
         "value": round(ours, 3),
-        "unit": f"optimizer-steps/s (B={bsz},T=30; 6 steps/iter = 2 WM + "
-                "2 AC epochs, each AC epoch steps actor+critic; iter="
+        "unit": f"optimizer-steps/s (B={resolved['batch']},"
+                f"T={resolved['seq_t']}; {n_up} steps/iter = "
+                f"{resolved['wm_epochs']} WM + {resolved['ac_epochs']} AC "
+                "epochs, each AC epoch steps actor+critic; iter="
                 f"{iter_seconds*1000:.0f}ms; vs torch-ref fp32 on host CPU "
                 "— no reference GPU available)",
         "vs_baseline": round(vs, 2),

@@ -73,6 +73,13 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, lambda *_: dreamer.request_stop())
 
     final_reward = dreamer.train(resume=args.resume, progress=is_primary())
+    if dreamer.stopped:
+        # Graceful preemption: checkpointed mid-schedule, not a completion.
+        # Exit EX_TEMPFAIL so a supervisor resumes immediately (exit 0 would
+        # read as "training completed" and silently end the schedule).
+        if is_primary():
+            print(f"Preempted at iter {dreamer.iteration} (checkpointed).")
+        raise SystemExit(75)
     if is_primary():
         print(f"Final eval reward: {final_reward:.2f}")
     dreamer.metrics.save_npz()

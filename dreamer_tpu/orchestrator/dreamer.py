@@ -99,7 +99,10 @@ class Dreamer:
         # handler): the train loop finishes the current iteration, writes a
         # checkpoint, and returns cleanly — so an externally stopped run
         # loses zero progress instead of up to checkpoint_every iterations.
+        # ``stopped`` records that the last train() exited via this path
+        # (a preemption, not a completed schedule).
         self._stop_requested = False
+        self.stopped = False
 
         import functools
 
@@ -222,7 +225,22 @@ class Dreamer:
         except Exception:
             pass
         os.makedirs(self.metrics.log_dir, exist_ok=True)
-        with open(os.path.join(self.metrics.log_dir, "run_meta.json"), "w") as f:
+        path = os.path.join(self.metrics.log_dir, "run_meta.json")
+        # A resumed/restarted run appends an attempt record instead of
+        # overwriting: the provenance of the iterations produced by EARLIER
+        # attempts (their git SHA / argv) must survive the restart.
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                meta = {**prev,
+                        "attempts": prev.get("attempts", []) + [{
+                            k: meta[k] for k in
+                            ("argv", "time_utc", "git_sha", "git_dirty")
+                            if k in meta}]}
+            except Exception:
+                pass
+        with open(path, "w") as f:
             json.dump(meta, f, indent=1, default=str)
 
     def _learner_key(self) -> jax.Array:
@@ -591,11 +609,7 @@ class Dreamer:
         (e.g. TPU-trained weights loaded into a CPU-only demo process), where
         the saved shardings cannot be reconstructed."""
         target = self._agent_params_tree()
-        restore_args = jax.tree.map(
-            lambda _: self.ckpt._ocp.RestoreArgs(restore_type=np.ndarray),
-            target)
-        tree = self.ckpt._ckptr.restore(os.path.abspath(path), item=target,
-                                        restore_args=restore_args)
+        tree = self.ckpt.restore_numpy(path, target)
         tree = jax.tree.map(
             lambda ex, v: jnp.asarray(v, dtype=ex.dtype), target, tree)
         self.state = self.state._replace(
@@ -722,6 +736,7 @@ class Dreamer:
 
     def train(self, resume: bool = False, progress: bool = True):
         cfg = self.cfg.train
+        self.stopped = False
         if resume:
             self.restore_latest()
 
@@ -818,6 +833,7 @@ class Dreamer:
                 self.save_checkpoint()
                 self.ckpt.wait_until_finished()
                 self.metrics.save_npz()
+                self.stopped = True
                 return self.best_eval
             if self.iteration % cfg.checkpoint_every == 0:
                 self.save_checkpoint()

@@ -101,6 +101,16 @@ class CheckpointManager:
         with open(marker) as f:
             return int(f.read().strip())
 
+    def restore_numpy(self, path: str, target: Any) -> Any:
+        """Topology-independent raw restore: every leaf comes back as host
+        numpy in the structure of ``target``, with no device placement and no
+        dependence on the checkpoint's saved sharding/device metadata (safe
+        across platforms — e.g. TPU-trained weights into a CPU process)."""
+        restore_args = jax.tree.map(
+            lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray), target)
+        return self._ckptr.restore(os.path.abspath(path), item=target,
+                                   restore_args=restore_args)
+
     def restore(self, step: int, target: Any, shardings: Any = None) -> Any:
         """Restore into the structure of ``target`` (an exemplar pytree with
         correct shapes/dtypes, e.g. a freshly-initialised state).
@@ -117,11 +127,7 @@ class CheckpointManager:
             # saved on the host CPU device "TFRT_CPU_0" while rollout_device
             # was 'cpu' cannot be resolved under the axon TPU platform, where
             # local_devices() lists only the TPU chip).
-            restore_args = jax.tree.map(
-                lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray),
-                target)
-            restored = self._ckptr.restore(self._path(step), item=target,
-                                           restore_args=restore_args)
+            restored = self.restore_numpy(self._path(step), target)
         else:
             # Multi-host: restore global arrays in place (same topology by
             # construction — every process participates in the restore).

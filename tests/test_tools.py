@@ -105,10 +105,11 @@ class TestTopologyIndependentRestore:
 
 
 class TestGracefulShutdown:
-    def test_sigterm_checkpoints_and_exits_zero(self, tmp_path):
+    def test_sigterm_checkpoints_and_exits_tempfail(self, tmp_path):
         """SIGTERM must finish the current iteration, write a checkpoint, and
-        exit 0 — zero lost progress on preemption (vs up to checkpoint_every
-        iterations with a hard kill)."""
+        exit 75 (EX_TEMPFAIL — preempted, not completed; a supervisor resumes
+        on it immediately) — zero lost progress on preemption (vs up to
+        checkpoint_every iterations with a hard kill)."""
         import os
         import signal
         import subprocess
@@ -132,7 +133,7 @@ class TestGracefulShutdown:
             # Wait until the training loop has made some iterations (the
             # metrics csv is appended once per iteration).
             csv_path = tmp_path / "logs" / "metrics.csv"
-            deadline = time.time() + 120
+            deadline = time.time() + 300   # jax import + CPU compile under load
             while time.time() < deadline:
                 if csv_path.exists() and len(csv_path.read_text().splitlines()) > 3:
                     break
@@ -144,7 +145,7 @@ class TestGracefulShutdown:
         finally:
             if proc.poll() is None:
                 proc.kill()
-        assert rc == 0
+        assert rc == 75, "graceful preemption must exit EX_TEMPFAIL, not 0"
         latest = ckpt_dir / "LATEST"
         assert latest.exists(), "graceful stop must leave a checkpoint"
         step = int(latest.read_text().strip())

@@ -27,17 +27,24 @@ import numpy as np
 
 def save_gif(frames, path: str, step_ms: int = 40, every: int = 1,
              max_frames: int = 300):
-    """Animated GIF via Pillow; subsamples to at most max_frames."""
+    """Animated GIF via Pillow; subsamples to at most max_frames.  The frame
+    duration scales by the TOTAL subsample ratio so playback speed matches
+    the episode's real time regardless of how many frames were dropped."""
     from PIL import Image
 
+    if not frames:
+        raise ValueError(
+            "no frames captured — the env's render() returned nothing "
+            "(does make_env honor render_mode for this env id?)")
+    n_raw = len(frames)
     frames = frames[::every]
     if len(frames) > max_frames:
         idx = np.linspace(0, len(frames) - 1, max_frames).astype(int)
         frames = [frames[i] for i in idx]
-        every = every * (len(frames) // max_frames + 1)
+    ratio = n_raw / len(frames)
     imgs = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
     imgs[0].save(path, save_all=True, append_images=imgs[1:],
-                 duration=step_ms * every, loop=0, optimize=True)
+                 duration=int(round(step_ms * ratio)), loop=0, optimize=True)
     return len(imgs)
 
 
