@@ -99,6 +99,15 @@ class TrainConfig:
     final_eval_episodes: int = 10
     checkpoint_every: int = 1000
     log_every: int = 1000
+    # Resume hygiene: when a run resumes WITHOUT a checkpointed replay ring
+    # (runtime.checkpoint_replay=false), the buffer refills exclusively with
+    # the current near-deterministic policy's data — the world model then
+    # degrades on the low-diversity distribution and eval craters (observed:
+    # 352 -> -82 after a mid-run resume).  A nonzero value re-primes the
+    # empty ring with this many random-policy rollout rounds before training
+    # continues (idempotent: skipped if the restored ring already holds that
+    # much data, e.g. when the replay ring IS checkpointed).
+    resume_prime_iterations: int = 0
 
 
 @dataclass

@@ -737,11 +737,25 @@ class Dreamer:
     def train(self, resume: bool = False, progress: bool = True):
         cfg = self.cfg.train
         self.stopped = False
+        restored = False
         if resume:
-            self.restore_latest()
+            restored = self.restore_latest()
 
         log = print if progress else (lambda *a, **k: None)
         log("Starting Training...")
+        if restored and self.iteration > 0 and cfg.resume_prime_iterations > 0:
+            # Re-prime an empty/thin restored replay ring with random-policy
+            # diversity (see TrainConfig.resume_prime_iterations).  The
+            # while-loop makes repeated restarts idempotent and a no-op when
+            # the ring was checkpointed.
+            target = min(cfg.resume_prime_iterations * cfg.sequence_length
+                         * self.cfg.env.num_envs, cfg.buffer_size)
+            if self._host_int(self.buf.size) < target:
+                log(f"Re-priming replay ring to {target} transitions "
+                    "with random rollouts...")
+                while self._host_int(self.buf.size) < target:
+                    self.rollout_policy(random_policy=True)
+                log("Re-priming done.")
         if self.iteration == 0:
             log("Starting Random Kickstart.")
             wm_step = self._sharded_wm_step or self.trainer.wm_step

@@ -129,6 +129,29 @@ class TestCheckpoint:
         d2.train(resume=False, progress=False)
         assert d2.iteration == d2.cfg.train.training_iterations
 
+    def test_resume_prime_refills_empty_ring(self, tmp_path):
+        """train.resume_prime_iterations: a resume that restores NO replay
+        ring re-primes it with random rollouts before training continues
+        (the resume-crater fix); a ring that already holds enough data is
+        left alone."""
+        cfg_kw = {"runtime.checkpoint_replay": "false",
+                  "train.resume_prime_iterations": "3"}
+        d = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        d.rollout_policy(random_policy=True)
+        d.iteration = 4   # == training_iterations: the train loop is a no-op
+        d.save_checkpoint()
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        d2.train(resume=True, progress=False)
+        seq = d2.cfg.train.sequence_length * d2.cfg.env.num_envs
+        assert int(d2.buf.size) >= 3 * seq   # re-primed
+        # Idempotent: a second resume sees a ring already at target and adds
+        # nothing (restore_latest keeps the in-memory ring when the
+        # checkpoint holds none).
+        before = int(d2.buf.size)
+        d2.train(resume=True, progress=False)
+        assert int(d2.buf.size) == before
+
 
 class TestBatchedEval:
     def test_batched_matches_sequential_episode_count(self, tmp_path):
