@@ -646,9 +646,28 @@ class Dreamer:
         return tree
 
     def restore_latest(self) -> bool:
-        """Resume from the newest checkpoint; returns True if one was found."""
-        result = self.ckpt.restore_latest(self._checkpoint_tree(),
-                                          shardings=self._checkpoint_shardings())
+        """Resume from the newest checkpoint; returns True if one was found.
+
+        Tolerates a replay-ring presence mismatch between the checkpoint and
+        the current runtime.checkpoint_replay setting (either direction):
+        a run toggled to ring-checkpointing resumes from a ring-less
+        checkpoint (fresh ring + optional re-priming), and a ring-bearing
+        checkpoint restores its ring even when the setting is now off
+        (free diversity — dropping it would recreate the resume crater)."""
+        target = self._checkpoint_tree()
+        shardings = self._checkpoint_shardings()
+        try:
+            result = self.ckpt.restore_latest(target, shardings=shardings)
+        except ValueError:
+            if "buffer" in target:
+                target.pop("buffer")
+                if shardings is not None:
+                    shardings.pop("buffer", None)
+            else:
+                target["buffer"] = self.buf
+                if shardings is not None:
+                    shardings["buffer"] = self._plan.buffer_shardings(self.buf)
+            result = self.ckpt.restore_latest(target, shardings=shardings)
         if result is None:
             return False
         _, tree = result
@@ -748,8 +767,10 @@ class Dreamer:
             # diversity (see TrainConfig.resume_prime_iterations).  The
             # while-loop makes repeated restarts idempotent and a no-op when
             # the ring was checkpointed.
-            target = min(cfg.resume_prime_iterations * cfg.sequence_length
-                         * self.cfg.env.num_envs, cfg.buffer_size)
+            # buf.size counts per-env ring positions: one rollout round adds
+            # sequence_length of them (x num_envs transitions).
+            target = min(cfg.resume_prime_iterations * cfg.sequence_length,
+                         cfg.buffer_size // max(1, self.cfg.env.num_envs))
             if self._host_int(self.buf.size) < target:
                 log(f"Re-priming replay ring to {target} transitions "
                     "with random rollouts...")

@@ -129,6 +129,29 @@ class TestCheckpoint:
         d2.train(resume=False, progress=False)
         assert d2.iteration == d2.cfg.train.training_iterations
 
+    def test_replay_toggle_mismatch_tolerated(self, tmp_path):
+        """A checkpoint saved without the replay ring must restore under
+        checkpoint_replay=true (fresh ring), and one saved WITH the ring must
+        restore its ring under checkpoint_replay=false (free diversity)."""
+        off = {"runtime.checkpoint_replay": "false"}
+        on = {"runtime.checkpoint_replay": "true"}
+        # Saved ring-less -> resumed ring-ful.
+        d = Dreamer(smoke_cfg(tmp_path, **off))
+        d.rollout_policy(random_policy=True)
+        d.iteration = 2
+        d.save_checkpoint()
+        d2 = Dreamer(smoke_cfg(tmp_path, **on))
+        assert d2.restore_latest()
+        assert d2.iteration == 2 and int(d2.buf.size) == 0
+        # Saved ring-ful -> resumed ring-less: the ring comes back anyway.
+        d2.buf = d.buf
+        d2.iteration = 3
+        d2.save_checkpoint()
+        d3 = Dreamer(smoke_cfg(tmp_path, **off))
+        assert d3.restore_latest()
+        assert d3.iteration == 3
+        assert int(d3.buf.size) == d3.cfg.train.sequence_length
+
     def test_resume_prime_refills_empty_ring(self, tmp_path):
         """train.resume_prime_iterations: a resume that restores NO replay
         ring re-primes it with random rollouts before training continues
@@ -143,8 +166,7 @@ class TestCheckpoint:
 
         d2 = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
         d2.train(resume=True, progress=False)
-        seq = d2.cfg.train.sequence_length * d2.cfg.env.num_envs
-        assert int(d2.buf.size) >= 3 * seq   # re-primed
+        assert int(d2.buf.size) >= 3 * d2.cfg.train.sequence_length  # re-primed
         # Idempotent: a second resume sees a ring already at target and adds
         # nothing (restore_latest keeps the in-memory ring when the
         # checkpoint holds none).
