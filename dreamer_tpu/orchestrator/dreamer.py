@@ -762,7 +762,7 @@ class Dreamer:
 
         log = print if progress else (lambda *a, **k: None)
         log("Starting Training...")
-        if restored and self.iteration > 0 and cfg.resume_prime_iterations > 0:
+        if restored and cfg.resume_prime_iterations > 0:
             # Re-prime an empty/thin restored replay ring with random-policy
             # diversity (see TrainConfig.resume_prime_iterations).  The
             # while-loop makes repeated restarts idempotent and a no-op when
@@ -777,10 +777,28 @@ class Dreamer:
                 while self._host_int(self.buf.size) < target:
                     self.rollout_policy(random_policy=True)
                 log("Re-priming done.")
-        if self.iteration == 0:
+        if self.iteration == 0 and not restored:
+            # ``not restored``: an iteration-0 checkpoint (below, or a
+            # graceful mid-kickstart stop) marks the kickstart as spent —
+            # rerunning cfg.random_iterations rollout+WM rounds on resume
+            # would double-count the schedule; the resume_prime loop above
+            # restores buffer diversity instead.
             log("Starting Random Kickstart.")
             wm_step = self._sharded_wm_step or self.trainer.wm_step
             for _ in range(cfg.random_iterations):
+                if self._should_stop():
+                    # Honor SIGTERM between kickstart rounds: without this
+                    # check a stop request is only seen AFTER the first full
+                    # training iteration — which sits behind the fused
+                    # train-program compile (~20 min cold on a remote-compile
+                    # tunnel; observed round 3).
+                    log("Stop requested during kickstart; checkpointing and "
+                        "exiting cleanly.")
+                    self.save_checkpoint()
+                    self.ckpt.wait_until_finished()
+                    self.metrics.save_npz()
+                    self.stopped = True
+                    return self.best_eval
                 self.rollout_policy(random_policy=True)
                 if self._host_int(self.buf.size) >= cfg.sequence_length:
                     self.state, wm_metrics = wm_step(
@@ -790,6 +808,11 @@ class Dreamer:
             self.metrics.log_eval(0, reward)
             self._maybe_save_best(reward)
             log(f"Initial eval reward: {reward:.2f}")
+            # Persist the completed kickstart (WM params + rings if
+            # checkpointed): a crash/preemption before the first periodic
+            # checkpoint would otherwise redo all random_iterations rounds.
+            self.save_checkpoint()
+            self.metrics.save_npz()
 
         # Guard against learning from unwritten buffer slots (the reference
         # raises ValueError, Buffer.py:33-34): prime the buffer synchronously

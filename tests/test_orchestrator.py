@@ -174,6 +174,43 @@ class TestCheckpoint:
         d2.train(resume=True, progress=False)
         assert int(d2.buf.size) == before
 
+    def test_stop_during_kickstart_checkpoints_and_skips_on_resume(self, tmp_path):
+        """A SIGTERM-style stop request arriving DURING the random kickstart
+        must be honored between kickstart rounds (not deferred past the first
+        training iteration, which can sit behind a ~20-min cold compile on a
+        remote-compile tunnel), and the iteration-0 checkpoint it writes must
+        mark the kickstart as spent: resuming skips straight to training."""
+        d = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "50"}))
+        d.request_stop()
+        d.train(progress=False)
+        assert d.stopped
+        assert d.iteration == 0
+        assert d.ckpt.latest_step() == 0
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "50"}))
+        calls = {"n": 0}
+        orig = d2.rollout_policy
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        d2.rollout_policy = counted
+        d2.train(resume=True, progress=False)
+        assert d2.iteration == d2.cfg.train.training_iterations
+        # Priming (1 round) + one rollout per training iteration — NOT the 50
+        # kickstart rounds over again.
+        assert calls["n"] <= 1 + d2.cfg.train.training_iterations
+
+    def test_kickstart_completion_is_checkpointed(self, tmp_path):
+        """Completing the kickstart writes an iteration-0 checkpoint, so a
+        crash before the first periodic checkpoint does not redo all
+        random_iterations rollout+WM rounds."""
+        d = Dreamer(smoke_cfg(tmp_path, **{"train.training_iterations": "1"}))
+        d.train(progress=False)
+        assert os.path.exists(os.path.join(str(tmp_path), "models", "ckpt_0"))
+        assert d.ckpt.latest_step() == 1  # final save still wins LATEST
+
 
 class TestBatchedEval:
     def test_batched_matches_sequential_episode_count(self, tmp_path):
