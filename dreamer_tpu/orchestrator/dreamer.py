@@ -189,6 +189,40 @@ class Dreamer:
         # was pruned away after the policy later collapsed; keep a weights-only
         # "agent_best" export (never pruned) updated whenever eval improves.
         self.best_eval = float("-inf")
+        # Set by restore_latest(): whether the restored checkpoint carried the
+        # replay ring.  Drives the ring-less-resume re-prime default in train().
+        self._ring_restored = False
+
+    # ------------------------------------------------------------------ #
+    # Kickstart progress sidecar: a mid-kickstart graceful stop checkpoints
+    # at iteration 0, which previously marked ALL cfg.random_iterations
+    # rollout+WM-pretrain rounds as spent — resume silently dropped the rest
+    # of the parity schedule (reference Dreamer.py:331-340 always runs the
+    # full kickstart).  A tiny JSON next to best.json records rounds actually
+    # completed so resume continues from there.  Old checkpoints without the
+    # sidecar keep the old semantics (restored => spent).
+    # ------------------------------------------------------------------ #
+
+    def _kickstart_path(self) -> str:
+        return os.path.join(self.cfg.runtime.checkpoint_dir, "kickstart.json")
+
+    def _kickstart_rounds_done(self, restored: bool) -> int:
+        import json
+
+        path = self._kickstart_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                return int(json.load(f)["rounds_done"])
+        return self.cfg.train.random_iterations if restored else 0
+
+    def _write_kickstart_progress(self, rounds_done: int):
+        if self._proc != 0:
+            return
+        import json
+
+        os.makedirs(self.cfg.runtime.checkpoint_dir, exist_ok=True)
+        with open(self._kickstart_path(), "w") as f:
+            json.dump({"rounds_done": rounds_done}, f)
 
     # ------------------------------------------------------------------ #
 
@@ -351,8 +385,26 @@ class Dreamer:
             return jax.device_put(key, self._learner_device)
         return key
 
+    def _touch_heartbeat(self):
+        """Liveness signal for the supervisor's hang watchdog
+        (tools/run_supervised.py --watch-file): touched from the MAIN work
+        loop only — a device-call hang (e.g. a dropped accelerator tunnel,
+        observed round 4: 1h+ silent stall) blocks the main thread, so a
+        stale mtime is a reliable hang signal where a thread-based heartbeat
+        would keep beating."""
+        if self._proc != 0:
+            return
+        path = os.path.join(self.cfg.runtime.log_dir, "heartbeat")
+        try:
+            os.makedirs(self.cfg.runtime.log_dir, exist_ok=True)
+            with open(path, "a"):
+                os.utime(path, None)
+        except OSError:
+            pass
+
     def rollout_policy(self, random_policy: bool = False) -> Dict[str, float]:
         """Collect sequence_length transitions per env into the replay buffer."""
+        self._touch_heartbeat()
         wm_p, actor_p = self._policy_params()
         chunks, metrics = self._collect_chunk(random_policy, wm_p, actor_p)
         self._write_chunk(chunks)
@@ -672,6 +724,7 @@ class Dreamer:
             return False
         _, tree = result
         self.state = tree["state"]
+        self._ring_restored = "buffer" in tree
         if "buffer" in tree:
             self.buf = tree["buffer"]
         # else: checkpoint_replay=False — keep the fresh buffer; train()'s
@@ -762,30 +815,46 @@ class Dreamer:
 
         log = print if progress else (lambda *a, **k: None)
         log("Starting Training...")
-        if restored and cfg.resume_prime_iterations > 0:
-            # Re-prime an empty/thin restored replay ring with random-policy
-            # diversity (see TrainConfig.resume_prime_iterations).  The
-            # while-loop makes repeated restarts idempotent and a no-op when
-            # the ring was checkpointed.
-            # buf.size counts per-env ring positions: one rollout round adds
-            # sequence_length of them (x num_envs transitions).
-            target = min(cfg.resume_prime_iterations * cfg.sequence_length,
-                         cfg.buffer_size // max(1, self.cfg.env.num_envs))
-            if self._host_int(self.buf.size) < target:
-                log(f"Re-priming replay ring to {target} transitions "
-                    "with random rollouts...")
-                while self._host_int(self.buf.size) < target:
-                    self.rollout_policy(random_policy=True)
-                log("Re-priming done.")
-        if self.iteration == 0 and not restored:
-            # ``not restored``: an iteration-0 checkpoint (below, or a
-            # graceful mid-kickstart stop) marks the kickstart as spent —
-            # rerunning cfg.random_iterations rollout+WM rounds on resume
-            # would double-count the schedule; the resume_prime loop above
-            # restores buffer diversity instead.
-            log("Starting Random Kickstart.")
+        rounds_done = self._kickstart_rounds_done(restored)
+        kickstart_pending = (self.iteration == 0
+                             and rounds_done < cfg.random_iterations)
+        if restored:
+            prime_rounds = cfg.resume_prime_iterations
+            if (prime_rounds == 0 and not self._ring_restored
+                    and not kickstart_pending):
+                # Ring-less resume with no explicit re-prime target: training
+                # would otherwise start on a buffer primed only to
+                # sequence_length (the line-~900 guard) — the documented
+                # low-diversity eval-crater failure (RUNBOOK: 352 -> -38).
+                # Default to the kickstart's own diversity budget.
+                prime_rounds = cfg.random_iterations
+                log(f"WARNING: checkpoint carried no replay ring and "
+                    f"train.resume_prime_iterations=0; defaulting re-prime "
+                    f"to random_iterations={prime_rounds} rounds.")
+            if prime_rounds > 0:
+                # Re-prime an empty/thin restored replay ring with random-policy
+                # diversity (see TrainConfig.resume_prime_iterations).  The
+                # while-loop makes repeated restarts idempotent and a no-op when
+                # the ring was checkpointed.
+                # buf.size counts per-env ring positions: one rollout round adds
+                # sequence_length of them (x num_envs transitions).
+                target = min(prime_rounds * cfg.sequence_length,
+                             cfg.buffer_size // max(1, self.cfg.env.num_envs))
+                if self._host_int(self.buf.size) < target:
+                    log(f"Re-priming replay ring to {target} transitions "
+                        "with random rollouts...")
+                    while self._host_int(self.buf.size) < target:
+                        self.rollout_policy(random_policy=True)
+                    log("Re-priming done.")
+        if kickstart_pending:
+            # Run the kickstart rounds not yet completed (all of them on a
+            # fresh start; the remainder after a graceful mid-kickstart stop,
+            # tracked via the kickstart.json sidecar — a plain iteration-0
+            # checkpoint no longer silently marks the whole phase as spent).
+            log(f"Starting Random Kickstart "
+                f"({rounds_done}/{cfg.random_iterations} rounds done).")
             wm_step = self._sharded_wm_step or self.trainer.wm_step
-            for _ in range(cfg.random_iterations):
+            for r in range(rounds_done, cfg.random_iterations):
                 if self._should_stop():
                     # Honor SIGTERM between kickstart rounds: without this
                     # check a stop request is only seen AFTER the first full
@@ -794,6 +863,7 @@ class Dreamer:
                     # tunnel; observed round 3).
                     log("Stop requested during kickstart; checkpointing and "
                         "exiting cleanly.")
+                    self._write_kickstart_progress(r)
                     self.save_checkpoint()
                     self.ckpt.wait_until_finished()
                     self.metrics.save_npz()
@@ -804,6 +874,7 @@ class Dreamer:
                     self.state, wm_metrics = wm_step(
                         self.state, self.buf, self._learner_key())
             log("Kickstart done.")
+            self._write_kickstart_progress(cfg.random_iterations)
             reward = self._eval_and_sync(cfg.eval_episodes)
             self.metrics.log_eval(0, reward)
             self._maybe_save_best(reward)
@@ -828,6 +899,7 @@ class Dreamer:
 
         profiling = False
         while self.iteration < cfg.training_iterations:
+            self._touch_heartbeat()
             # Optional jax.profiler window over iterations 5..10 (SURVEY §5
             # tracing subsystem; the reference has none).
             if self.cfg.runtime.profile and self.iteration == 5 and not profiling:
@@ -900,8 +972,13 @@ class Dreamer:
                 reward = self._eval_and_sync(cfg.eval_episodes)
                 self.metrics.log_eval(self.iteration, reward)
                 self._maybe_save_best(reward)
+                # Policy-health on the eval line: entropy at the sigma floor
+                # (log min_std * action_dim-ish) with falling eval is the
+                # collapse signature (round-1 post-mortem; round-3 fade).
+                ent = step_metrics.get("ac/entropy")
+                ent_s = f", entropy {float(ent):.2f}" if ent is not None else ""
                 log(f"iter {self.iteration}: eval reward {reward:.2f}, "
-                    f"wm loss {float(step_metrics['wm/loss']):.3f}")
+                    f"wm loss {float(step_metrics['wm/loss']):.3f}{ent_s}")
 
         log("Training Complete.")
         reward = self._eval_and_sync(cfg.final_eval_episodes)

@@ -174,20 +174,35 @@ class TestCheckpoint:
         d2.train(resume=True, progress=False)
         assert int(d2.buf.size) == before
 
-    def test_stop_during_kickstart_checkpoints_and_skips_on_resume(self, tmp_path):
+    def test_stop_during_kickstart_resumes_remaining_rounds(self, tmp_path):
         """A SIGTERM-style stop request arriving DURING the random kickstart
         must be honored between kickstart rounds (not deferred past the first
         training iteration, which can sit behind a ~20-min cold compile on a
-        remote-compile tunnel), and the iteration-0 checkpoint it writes must
-        mark the kickstart as spent: resuming skips straight to training."""
-        d = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "50"}))
-        d.request_stop()
-        d.train(progress=False)
-        assert d.stopped
-        assert d.iteration == 0
-        assert d.ckpt.latest_step() == 0
+        remote-compile tunnel).  The kickstart.json sidecar records how many
+        rounds actually completed, so resume runs exactly the REMAINDER —
+        neither redoing completed rounds nor (the old bug) silently dropping
+        all of them from the parity schedule (reference Dreamer.py kickstart
+        always runs in full)."""
+        d = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "6"}))
+        # Stop after 2 kickstart rounds: flip the flag from inside rollout.
+        orig1 = d.rollout_policy
+        seen = {"n": 0}
 
-        d2 = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "50"}))
+        def stop_after_two(*a, **k):
+            seen["n"] += 1
+            if seen["n"] == 2:
+                d.request_stop()
+            return orig1(*a, **k)
+
+        d.rollout_policy = stop_after_two
+        d.train(progress=False)
+        assert d.stopped and d.iteration == 0
+        assert d.ckpt.latest_step() == 0
+        import json
+        with open(os.path.join(str(tmp_path), "models", "kickstart.json")) as f:
+            assert json.load(f)["rounds_done"] == 2
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "6"}))
         calls = {"n": 0}
         orig = d2.rollout_policy
 
@@ -198,9 +213,58 @@ class TestCheckpoint:
         d2.rollout_policy = counted
         d2.train(resume=True, progress=False)
         assert d2.iteration == d2.cfg.train.training_iterations
-        # Priming (1 round) + one rollout per training iteration — NOT the 50
-        # kickstart rounds over again.
-        assert calls["n"] <= 1 + d2.cfg.train.training_iterations
+        # Exactly the 4 remaining kickstart rounds + one rollout per training
+        # iteration — neither 0 nor 6 kickstart rounds.
+        assert calls["n"] == 4 + d2.cfg.train.training_iterations
+        # Completion recorded: a further resume redoes nothing.
+        with open(os.path.join(str(tmp_path), "models", "kickstart.json")) as f:
+            assert json.load(f)["rounds_done"] == 6
+
+    def test_legacy_iteration0_checkpoint_skips_kickstart(self, tmp_path):
+        """Checkpoints from before the kickstart.json sidecar keep the old
+        semantics: restored at iteration 0 without a sidecar => kickstart
+        treated as spent (never double-run the schedule)."""
+        d = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "5"}))
+        d.rollout_policy(random_policy=True)
+        d.save_checkpoint()  # iteration-0 checkpoint, no sidecar
+        d.ckpt.wait_until_finished()
+        sidecar = os.path.join(str(tmp_path), "models", "kickstart.json")
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "5"}))
+        calls = {"n": 0}
+        orig = d2.rollout_policy
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        d2.rollout_policy = counted
+        d2.train(resume=True, progress=False)
+        assert d2.iteration == d2.cfg.train.training_iterations
+        # No kickstart rounds re-run; ring-less resume with prime=0 defaults
+        # to random_iterations rounds of re-priming (the crater guard), plus
+        # one rollout per training iteration.
+        assert calls["n"] <= 5 + d2.cfg.train.training_iterations
+
+    def test_ringless_resume_defaults_reprime_to_kickstart_budget(self, tmp_path):
+        """Resuming a ring-less checkpoint with resume_prime_iterations=0
+        (the supervisor crash-restart default) must NOT start training on a
+        buffer primed only to sequence_length — it defaults the re-prime
+        target to random_iterations rounds (the documented eval-crater fix)."""
+        cfg_kw = {"runtime.checkpoint_replay": "false",
+                  "train.resume_prime_iterations": "0",
+                  "train.random_iterations": "3"}
+        d = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        d.rollout_policy(random_policy=True)
+        d.iteration = 4   # == training_iterations: the train loop is a no-op
+        d.save_checkpoint()
+        d.ckpt.wait_until_finished()
+
+        d2 = Dreamer(smoke_cfg(tmp_path, **cfg_kw))
+        d2.train(resume=True, progress=False)
+        assert int(d2.buf.size) >= 3 * d2.cfg.train.sequence_length
 
     def test_kickstart_completion_is_checkpointed(self, tmp_path):
         """Completing the kickstart writes an iteration-0 checkpoint, so a

@@ -154,6 +154,63 @@ class TestGracefulShutdown:
         assert 0 < step < 100000
 
 
+class TestHangWatchdog:
+    """tools/run_supervised.py hang detection: a child whose device call hangs
+    never exits, so exit-code supervision alone cannot recover it (observed
+    round 4: a dropped accelerator tunnel silently stalled the flagship run
+    for 1h+).  The trainer touches <log_dir>/heartbeat from its main work
+    loop; a stale mtime past --hang-timeout gets the child SIGKILLed."""
+
+    def test_stale_heartbeat_kills_child(self, tmp_path):
+        import subprocess
+        import sys
+        import time
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from run_supervised import _wait_with_watchdog
+
+        hb = tmp_path / "heartbeat"
+        hb.write_text("")  # pre-existing (stale) file from a prior attempt
+        os.utime(hb, (time.time() - 3600, time.time() - 3600))
+        proc = subprocess.Popen([sys.executable, "-c",
+                                 "import time; time.sleep(120)"])
+        t0 = time.monotonic()
+        rc = _wait_with_watchdog(proc, str(hb), 3.0, time.monotonic(),
+                                 {"requested": False})
+        assert rc is None                      # hang verdict, not an exit code
+        assert proc.poll() is not None         # child actually dead
+        assert time.monotonic() - t0 < 30      # detected promptly
+        # The pre-existing stale mtime did NOT count against the fresh child:
+        # detection took at least the full timeout from child start.
+        assert time.monotonic() - t0 >= 3.0
+
+    def test_live_child_exits_normally(self, tmp_path):
+        import subprocess
+        import sys
+        import time
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from run_supervised import _wait_with_watchdog
+
+        hb = tmp_path / "heartbeat"
+        # Child touches the heartbeat, outlives the timeout, exits 7.  The
+        # timeout (15s) leaves production-like margin over interpreter
+        # startup — in real use it is 30 min vs seconds of startup.
+        proc = subprocess.Popen([sys.executable, "-c", (
+            "import os, sys, time\n"
+            "p = sys.argv[1]\n"
+            "for _ in range(8):\n"
+            "    open(p, 'a').close()\n"
+            "    os.utime(p, None)\n"
+            "    time.sleep(0.5)\n"
+            "sys.exit(7)\n"), str(hb)])
+        rc = _wait_with_watchdog(proc, str(hb), 15.0, time.monotonic(),
+                                 {"requested": False})
+        assert rc == 7
+
+
 class TestAsyncCheckpoint:
     def test_async_save_restore(self, tmp_path):
         from dreamer_tpu.utils.checkpoint import CheckpointManager

@@ -17,10 +17,67 @@ import sys
 import time
 
 
+def _wait_with_watchdog(proc, watch_file, hang_timeout, started, stop):
+    """Wait for the child; with a watch file, kill it and return None if the
+    file's mtime stays stale for ``hang_timeout`` seconds.  Staleness is
+    measured against max(mtime, child start) so a pre-existing file from the
+    previous attempt never counts against the new child, and the child's
+    compile window gets the full timeout."""
+    import os
+    import signal as _signal
+
+    if not watch_file:
+        return proc.wait()
+    poll_s = min(15.0, max(0.5, hang_timeout / 4.0))
+    while True:
+        try:
+            return proc.wait(timeout=poll_s)
+        except subprocess.TimeoutExpired:
+            pass
+        if stop["requested"]:
+            # SIGTERM path: give the graceful checkpoint its own window.
+            try:
+                return proc.wait(timeout=max(hang_timeout, 300.0))
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                return proc.wait()
+        try:
+            mtime = os.path.getmtime(watch_file)
+        except OSError:
+            mtime = 0.0
+        freshness = max(mtime, _mono_to_wall(started))
+        if time.time() - freshness > hang_timeout:
+            # Hung: SIGTERM would land in the same stuck device call; go
+            # straight to SIGKILL (the periodic checkpoint is the recovery
+            # point — graceful save is impossible from a hung process).
+            proc.send_signal(_signal.SIGKILL)
+            proc.wait()
+            return None
+
+
+def _mono_to_wall(monotonic_t):
+    """Wall-clock time corresponding to a time.monotonic() stamp."""
+    return time.time() - (time.monotonic() - monotonic_t)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--max-restarts", type=int, default=10)
+    parser.add_argument("--watch-file", default=None,
+                        help="hang watchdog: path the trainer touches from its "
+                             "main work loop (<log_dir>/heartbeat); if its "
+                             "mtime goes stale for --hang-timeout seconds the "
+                             "child is killed and relaunched with --resume. "
+                             "A hung device call (dropped accelerator tunnel) "
+                             "never exits, so exit-code supervision alone "
+                             "cannot catch it — observed as a silent 1h stall "
+                             "in round 4.")
+    parser.add_argument("--hang-timeout", type=float, default=1800.0,
+                        help="seconds of heartbeat staleness before the child "
+                             "is declared hung (default 30 min — must exceed "
+                             "the worst cold-compile window, 9-24 min on the "
+                             "remote-compile tunnel)")
     parser.add_argument("rest", nargs=argparse.REMAINDER,
                         help="extra args passed to dreamer_tpu.cli.train")
     args = parser.parse_args()
@@ -52,8 +109,16 @@ def main():
         started = time.monotonic()
         proc = subprocess.Popen(cmd)
         stop["child"] = proc
-        rc = proc.wait()
+        rc = _wait_with_watchdog(proc, args.watch_file, args.hang_timeout,
+                                 started, stop)
         ran_for = time.monotonic() - started
+        if rc is None:
+            # Hung child killed by the watchdog: relaunch immediately (the
+            # latest checkpoint is intact; the hang wasted enough time).
+            print("[supervisor] child hung (stale heartbeat "
+                  f"> {args.hang_timeout:.0f}s); killed, resuming", flush=True)
+            backoff = 5.0
+            continue
         if rc == 0:
             print("[supervisor] training completed", flush=True)
             return 0
