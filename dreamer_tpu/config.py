@@ -47,6 +47,16 @@ class WorldModelConfig:
     beta_dyn: float = 0.5
     beta_rep: float = 0.1
     free_bits: float = 1.0                # max(1, E[KL]) — WorldModel.py:187-188
+    # Zero the RSSM carry (h, z) and incoming action at env auto-reset
+    # boundaries inside sampled training windows (is_first = 1 - cont[t-1]).
+    # The reference only per-step-masks the LOSS at the terminal step
+    # (WorldModel.py:170-173) and carries recurrent state across the reset —
+    # invisible on CarRacing's fixed 1000-step episodes, but on
+    # early-terminating envs most windows straddle a boundary and the world
+    # model trains on cross-episode transitions (diagnosed as the LunarLander
+    # -136 -> -411 failure).  Off by default for reference parity; enabled in
+    # the terminating-env configs (lunar_lander, bipedal_walker).
+    reset_on_episode_start: bool = False
 
     @property
     def latent_dim(self) -> int:

@@ -218,7 +218,8 @@ def make_env(env_id: str, obs_size=(64, 64), action_repeat: int = 4,
     if env_id == "fake":
         from dreamer_tpu.envs.fake import FakeEnv
 
-        return FakeEnv(obs_size=obs_size)
+        return FakeEnv(obs_size=obs_size,
+                       episode_len=max_episode_steps or 100)
 
     if env_id.startswith("PyFlyt"):
         # Drone stretch goal (README.md:7 of the reference): optional dep.

@@ -187,7 +187,8 @@ class RSSM:
     # ------------------------------------------------------------------ #
 
     def observe_sequence(self, params, obs_norm: jnp.ndarray, actions: jnp.ndarray,
-                         key: jax.Array) -> ObservedSequence:
+                         key: jax.Array,
+                         is_first: jnp.ndarray | None = None) -> ObservedSequence:
         """Open-loop posterior unroll over T steps from zero state.
 
         Mirrors unroll_model's t-loop (WorldModel.py:91-107): step t consumes
@@ -195,6 +196,19 @@ class RSSM:
         including t=0 (from zero h, z, a).
 
         obs_norm: (B, T, H, W, 3) normalised to [-0.5, 0.5]; actions: (B, T, A).
+
+        ``is_first`` (B, T) in {0, 1}: optional episode-boundary flags for
+        replay windows that straddle env auto-resets.  Where is_first[t]=1 the
+        recurrent carry (h, z) AND the incoming action are zeroed before the
+        step — exactly the episode-start condition the t=0 step already uses —
+        so the model never learns transitions across a reset.  The reference
+        has no equivalent (WorldModel.py:170-173 only per-step-masks the loss,
+        which leaves every post-reset step training on state carried across
+        the boundary); with CarRacing's fixed 1000-step episodes that flaw is
+        nearly invisible, but on early-terminating envs (LunarLander,
+        BipedalWalker) most windows straddle a boundary and the world model
+        is systematically poisoned — the round-1..3 LunarLander curve
+        (-136 -> -411) was this.  Enabled via wm.reset_on_episode_start.
         """
         B, T = obs_norm.shape[0], obs_norm.shape[1]
         feats = self.encode_obs(params, obs_norm)                      # (B, T, F)
@@ -202,6 +216,30 @@ class RSSM:
             [jnp.zeros_like(actions[:, :1]), actions[:, :-1]], axis=1)  # a_{t-1}
         h0, z0 = self.initial_state(B)
         keys = jax.random.split(key, T)
+
+        if is_first is not None:
+            # Boundary resets ride the plain autodiff scan: the deferred-dW
+            # fused VJP does not thread the reset mask (yet); correctness
+            # over the ~10% scan speedup for terminating-env configs.
+            def step_reset(carry, xs):
+                h, z = carry
+                feat_t, a_t, k_t, f_t = xs
+                m = (1.0 - f_t)[:, None]
+                h = h * m
+                z = z * m
+                a_t = a_t * m.astype(a_t.dtype)
+                h_next = self.gru_step(params, z, a_t, h)
+                logits = self.posterior_logits(params, feat_t, h_next)
+                z_next = self._sample(logits, k_t)
+                return (h_next, z_next), (h_next, z_next, logits)
+
+            xs = (feats.swapaxes(0, 1), a_in.swapaxes(0, 1), keys,
+                  is_first.astype(jnp.float32).swapaxes(0, 1))
+            _, (h_seq, z_seq, logit_seq) = jax.lax.scan(
+                step_reset, (h0, z0), xs, unroll=self.scan_unroll)
+            return ObservedSequence(h=h_seq.swapaxes(0, 1),
+                                    z=z_seq.swapaxes(0, 1),
+                                    post_logits=logit_seq.swapaxes(0, 1))
 
         if self.fused_scan_grads:
             from dreamer_tpu.ops.fused_scans import _ObserveCfg, observe_scan
@@ -239,14 +277,19 @@ class RSSM:
         )
 
     def warm_start(self, params, obs_norm: jnp.ndarray, actions: jnp.ndarray,
-                   key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   key: jax.Array,
+                   is_first: jnp.ndarray | None = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Teacher-forced warm start for imagination (Dreamer.py:244-262).
 
         Differs from observe_sequence at t=0: z0 is encoded directly from
         (h=0, obs[0]) with NO GRU step (Dreamer.py:252-253); then
         t = 1..Tw-1 observe steps with action[t-1], obs[t].
 
-        Returns the final (z, h) after consuming obs[Tw-1].
+        ``is_first`` (B, Tw): same episode-boundary reset semantics as
+        observe_sequence (zero h/z/a where the window crosses an env
+        auto-reset) so imagination never starts from state carried across a
+        boundary.  Returns the final (z, h) after consuming obs[Tw-1].
         """
         B, Tw = obs_norm.shape[0], obs_norm.shape[1]
         feats = self.encode_obs(params, obs_norm)
@@ -254,6 +297,26 @@ class RSSM:
         h0 = jnp.zeros((B, self.cfg.hidden_dim), jnp.float32)
         z0 = self._sample(self.posterior_logits(params, feats[:, 0], h0), key0)
         keys = jax.random.split(key_scan, Tw - 1)
+
+        if is_first is not None:
+            def step_reset(carry, xs):
+                h, z = carry
+                feat_t, a_prev, k_t, f_t = xs
+                m = (1.0 - f_t)[:, None]
+                h = h * m
+                z = z * m
+                a_prev = a_prev * m.astype(a_prev.dtype)
+                h_next = self.gru_step(params, z, a_prev, h)
+                logits = self.posterior_logits(params, feat_t, h_next)
+                z_next = self._sample(logits, k_t)
+                return (h_next, z_next), None
+
+            xs = (feats[:, 1:].swapaxes(0, 1),
+                  actions[:, : Tw - 1].swapaxes(0, 1), keys,
+                  is_first[:, 1:].astype(jnp.float32).swapaxes(0, 1))
+            (h_fin, z_fin), _ = jax.lax.scan(step_reset, (h0, z0), xs,
+                                             unroll=self.scan_unroll)
+            return z_fin, h_fin
 
         def step(carry, xs):
             h, z = carry

@@ -103,11 +103,14 @@ class AgentTrainer:
 
     def ac_loss(self, ac_params: Dict[str, Any], wm_params: Any, rssm: RSSM,
                 obs_u8: jnp.ndarray, actions: jnp.ndarray,
-                target_critic_params: Any, s_scale: jnp.ndarray, key: jax.Array):
+                target_critic_params: Any, s_scale: jnp.ndarray, key: jax.Array,
+                conts: jnp.ndarray | None = None):
         """Combined actor+critic loss on one replay batch.
 
         ``ac_params`` = {"actor": ..., "critic": ...} (the differentiated
-        pytree); wm_params/target params are frozen inputs.
+        pytree); wm_params/target params are frozen inputs.  ``conts`` is
+        consumed only under wm.reset_on_episode_start (boundary flags for the
+        teacher-forced warm start; see rssm.observe_sequence).
         """
         cfg = self.cfg
         Tw = cfg.train.sequence_length // 2   # warmup_length (Dreamer.py:254)
@@ -118,7 +121,13 @@ class AgentTrainer:
         # are consumed) and normalize straight into the compute dtype — the
         # encoder is the only consumer (see the same pattern in wm_loss).
         obs = obs_u8[:, :Tw].astype(rssm.dtype) / 255.0 - 0.5
-        z0, h0 = rssm.warm_start(wm_params, obs, actions[:, :Tw], k_warm)
+        is_first = None
+        if cfg.wm.reset_on_episode_start and conts is not None:
+            c = conts[:, :Tw]
+            is_first = jnp.concatenate(
+                [jnp.zeros_like(c[:, :1]), 1.0 - c[:, :-1]], axis=1)
+        z0, h0 = rssm.warm_start(wm_params, obs, actions[:, :Tw], k_warm,
+                                 is_first=is_first)
         # The dream differentiates w.r.t. the actor only; the warm start is
         # actor-independent, stop its (unused) graph explicitly for clarity.
         z0, h0 = sg(z0), sg(h0)
@@ -167,12 +176,16 @@ class AgentTrainer:
                   critic_opt: optax.GradientTransformation,
                   state: ACTrainState, wm_params: Any, rssm: RSSM,
                   batch, key: jax.Array) -> Tuple[ACTrainState, Dict[str, jnp.ndarray]]:
-        obs, actions = batch[0], batch[1]   # rewards/conts unused (dreamed)
+        obs, actions = batch[0], batch[1]   # rewards unused (dreamed)
+        # conts feed the warm start's boundary resets when the batch carries
+        # them and wm.reset_on_episode_start is set; None otherwise.
+        conts = batch[3] if len(batch) > 3 else None
         ac_params = {"actor": state.actor_params, "critic": state.critic_params}
 
         def loss_fn(p):
             return self.ac_loss(p, wm_params, rssm, obs, actions,
-                                state.target_critic_params, state.s_scale, key)
+                                state.target_critic_params, state.s_scale, key,
+                                conts=conts)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ac_params)
         s_new = aux.pop("_s_new")

@@ -154,10 +154,12 @@ class Trainer:
             k_s, k_u = jax.random.split(k)
             # The AC update consumes only the warm-start window (obs/actions
             # [:T//2], Dreamer.py:254) and never reads rewards/conts (the
-            # dream generates its own) — gather just that.
+            # dream generates its own) — gather just that.  Under
+            # wm.reset_on_episode_start the warm start DOES need the cont
+            # bits (boundary-reset flags), so the scalar gathers come back.
             batch = self._sample_batch(
                 buf, k_s, t_out=self.cfg.train.sequence_length // 2,
-                with_scalars=False)
+                with_scalars=self.cfg.wm.reset_on_episode_start)
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
                 self.rssm, batch, k_u)

@@ -133,7 +133,14 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     actions = actions[:, :H]
     rewards, conts = rewards[:, :H], conts[:, :H]
 
-    seq = rssm.observe_sequence(params, obs, actions, key)
+    is_first = None
+    if cfg.wm.reset_on_episode_start:
+        # Episode-boundary flags from the stored continue bits: step t starts
+        # a new episode iff step t-1 ended one.  Window start is state-zero
+        # anyway, so is_first[0] = 0.
+        is_first = jnp.concatenate(
+            [jnp.zeros_like(conts[:, :1]), 1.0 - conts[:, :-1]], axis=1)
+    seq = rssm.observe_sequence(params, obs, actions, key, is_first=is_first)
 
     prior_logits = rssm.prior_logits(params, seq.h)          # (B, H, R, C)
     dec_mu = rssm.decode(params, seq.h, seq.z)               # (B, H, h, w, 3)

@@ -276,6 +276,26 @@ class TestCheckpoint:
         assert d.ckpt.latest_step() == 1  # final save still wins LATEST
 
 
+class TestEpisodeBoundaryTraining:
+    def test_short_run_with_boundary_resets(self, tmp_path):
+        """End-to-end train with wm.reset_on_episode_start=true on a fake env
+        whose episodes (7 steps) are SHORTER than the replay window (16) —
+        every sampled sequence straddles multiple auto-resets.  Exercises the
+        reset observe/warm-start scans and the AC path's cont gathers."""
+        d = Dreamer(smoke_cfg(tmp_path, **{
+            "wm.reset_on_episode_start": "true",
+            "env.max_episode_steps": "7"}))
+        final = d.train(progress=False)
+        assert np.isfinite(final)
+        assert d.iteration == d.cfg.train.training_iterations
+        # Boundaries really occurred in the collected data.
+        rows = open(os.path.join(str(tmp_path), "logs", "metrics.csv")).read()
+        import csv as _csv
+        recs = list(_csv.DictReader(rows.splitlines()))
+        assert any(float(r["rollout/done_frac"]) > 0 for r in recs
+                   if r.get("rollout/done_frac"))
+
+
 class TestBatchedEval:
     def test_batched_matches_sequential_episode_count(self, tmp_path):
         d = Dreamer(smoke_cfg(tmp_path))

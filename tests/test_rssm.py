@@ -158,3 +158,83 @@ class TestImagine:
         g = jax.grad(loss)(a_params)
         gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         assert gnorm > 0.0
+
+
+class TestEpisodeBoundaryReset:
+    """wm.reset_on_episode_start: is_first flags zero the recurrent carry
+    (h, z) and incoming action mid-scan, making every post-boundary step
+    independent of pre-boundary data — the property the reference lacks
+    (its per-step loss mask, WorldModel.py:170-173, still carries state
+    across env auto-resets; diagnosed as the LunarLander failure)."""
+
+    def test_post_boundary_independent_of_prefix(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        B, T, t_b = 2, 8, 4
+        key = jax.random.PRNGKey(11)
+        obs = _rand_obs(jax.random.PRNGKey(12), B, T)
+        actions = jax.random.normal(jax.random.PRNGKey(13), (B, T, 3))
+        # Same suffix, scrambled prefix.
+        obs2 = obs.at[:, :t_b].set(_rand_obs(jax.random.PRNGKey(14), B, t_b))
+        act2 = actions.at[:, :t_b].set(
+            jax.random.normal(jax.random.PRNGKey(15), (B, t_b, 3)))
+        is_first = jnp.zeros((B, T)).at[:, t_b].set(1.0)
+
+        s1 = rssm.observe_sequence(params, obs, actions, key, is_first=is_first)
+        s2 = rssm.observe_sequence(params, obs2, act2, key, is_first=is_first)
+        # From the boundary on, identical (the reset cut all dependence).
+        np.testing.assert_allclose(np.asarray(s1.h[:, t_b:]),
+                                   np.asarray(s2.h[:, t_b:]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.z[:, t_b:]),
+                                   np.asarray(s2.z[:, t_b:]), atol=1e-6)
+        # Sanity: WITHOUT the flags the prefix does leak through.
+        s3 = rssm.observe_sequence(params, obs, actions, key)
+        s4 = rssm.observe_sequence(params, obs2, act2, key)
+        assert not np.allclose(np.asarray(s3.h[:, t_b:]),
+                               np.asarray(s4.h[:, t_b:]), atol=1e-6)
+
+    def test_no_flags_matches_default_path(self, rssm_small):
+        """is_first of all zeros must reproduce the default (fused or plain)
+        scan exactly — the reset path is a strict superset."""
+        cfg, rssm, params = rssm_small
+        B, T = 2, 5
+        obs = _rand_obs(jax.random.PRNGKey(16), B, T)
+        actions = jax.random.normal(jax.random.PRNGKey(17), (B, T, 3))
+        key = jax.random.PRNGKey(18)
+        s_plain = rssm.observe_sequence(params, obs, actions, key)
+        s_reset = rssm.observe_sequence(params, obs, actions, key,
+                                        is_first=jnp.zeros((B, T)))
+        np.testing.assert_allclose(np.asarray(s_plain.h), np.asarray(s_reset.h),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_plain.z), np.asarray(s_reset.z),
+                                   atol=1e-5)
+
+    def test_warm_start_boundary_reset(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        B, Tw, t_b = 2, 6, 3
+        key = jax.random.PRNGKey(19)
+        obs = _rand_obs(jax.random.PRNGKey(20), B, Tw)
+        actions = jax.random.normal(jax.random.PRNGKey(21), (B, Tw, 3))
+        obs2 = obs.at[:, :t_b].set(_rand_obs(jax.random.PRNGKey(22), B, t_b))
+        act2 = actions.at[:, :t_b].set(
+            jax.random.normal(jax.random.PRNGKey(23), (B, t_b, 3)))
+        is_first = jnp.zeros((B, Tw)).at[:, t_b].set(1.0)
+        z1, h1 = rssm.warm_start(params, obs, actions, key, is_first=is_first)
+        z2, h2 = rssm.warm_start(params, obs2, act2, key, is_first=is_first)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+
+    def test_gradients_flow_with_resets(self, rssm_small):
+        cfg, rssm, params = rssm_small
+        B, T = 2, 6
+        obs = _rand_obs(jax.random.PRNGKey(24), B, T)
+        actions = jax.random.normal(jax.random.PRNGKey(25), (B, T, 3))
+        is_first = jnp.zeros((B, T)).at[:, 3].set(1.0)
+
+        def loss(p):
+            seq = rssm.observe_sequence(p, obs, actions, jax.random.PRNGKey(26),
+                                        is_first=is_first)
+            return jnp.sum(seq.h ** 2) + jnp.sum(seq.post_logits ** 2)
+
+        grads = jax.grad(loss)(params)
+        gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+        assert np.isfinite(gnorm) and gnorm > 0
