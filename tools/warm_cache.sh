@@ -14,6 +14,13 @@ CACHE=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp}
 STORE="$REPO/tools/warm_cache"
 case "${1:?save|restore}" in
   save)
+    # Delete-then-copy: cache keys embed jaxlib version + backend, so
+    # entries from an older image can never hit again — accumulating them
+    # would bloat every future clone permanently.  The fresh save holds
+    # exactly the programs this session compiled or re-hit (restore copies
+    # the old store into the live cache first, so still-valid entries
+    # survive the rewrite via their mtime-preserved copies).
+    rm -rf "$STORE"
     mkdir -p "$STORE"
     # Keep only substantial programs (init-time throwaways are < 1 MB and
     # recompile in seconds on the host).
