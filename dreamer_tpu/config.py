@@ -85,6 +85,14 @@ class AgentConfig:
     # reference hard-codes 1e-3 (Agent.py:199); ~0.1 prevents the entropy
     # collapse that killed the round-1 long CarRacing run after its peak.
     min_std: float = 1e-3
+    # Entropy bonus form.  False (parity): the reference's single-sample
+    # -log pi(a) of the tanh-squashed density (Agent.py:124) — biased toward
+    # saturated actions (log|det J| -> +inf as |a| -> 1) and noisy.  True:
+    # the analytic base-Normal entropy (DreamerV3 paper), which depends only
+    # on sigma and regularises exploration directly (core/dists.py
+    # normal_entropy).  Candidate fix for the rise-then-fade pattern when
+    # sigma pins at min_std.
+    analytic_entropy: bool = False
     lambda_: float = 0.95
     gamma: float = 0.99
     target_tau: float = 0.02              # soft target update (Agent.py:90)

@@ -111,3 +111,19 @@ def tanh_normal_logprob(action: jnp.ndarray, mu: jnp.ndarray, sigma: jnp.ndarray
     )
     log_det = 2.0 * (jnp.log(2.0) - x - jax.nn.softplus(-2.0 * x))
     return jnp.sum(base_logprob - log_det, axis=-1)
+
+
+def normal_entropy(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Analytic entropy of the UNSQUASHED diagonal Normal, summed over the
+    action dim: sum_d 0.5*log(2*pi*e) + log(sigma_d).
+
+    The reference's entropy bonus is the single-sample estimate
+    -log pi(a) of the tanh-squashed density (Agent.py:124), whose value
+    EXPLODES toward +inf as |a| -> 1 (the log|det J| term) — so near-saturated
+    actions get a huge spurious bonus while sigma itself collapses.  DreamerV3
+    (arXiv:2301.04104, eq. 6) regularises the base distribution's analytic
+    entropy instead, which depends only on sigma and pulls it up directly.
+    Used under agent.analytic_entropy (default off for reference parity).
+    """
+    return jnp.sum(0.5 * jnp.log(2.0 * jnp.pi * jnp.e) + jnp.log(sigma),
+                   axis=-1)

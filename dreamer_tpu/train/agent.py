@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import optax
 
 from dreamer_tpu.config import DreamerConfig
-from dreamer_tpu.core.dists import tanh_normal_logprob
+from dreamer_tpu.core.dists import normal_entropy, tanh_normal_logprob
 from dreamer_tpu.core.math import bucket_values, symlog, twohot, twohot_expectation
 from dreamer_tpu.core.returns import lambda_returns, update_return_scale
 from dreamer_tpu.nets import Actor, Critic
@@ -145,7 +145,12 @@ class AgentTrainer:
         v = self.critic_value(ac_params["critic"], sg(traj.h), sg(traj.z))  # (B, H+1)
         advantage = sg(R - v[:, :-1])
         logp = tanh_normal_logprob(sg(traj.action), traj.mu, traj.sigma)    # (B, H)
-        entropy = -logp
+        if cfg.agent.analytic_entropy:
+            # Analytic base-Normal entropy (DreamerV3 form): a direct pull on
+            # sigma, immune to the sample estimate's tanh-saturation bias.
+            entropy = normal_entropy(traj.sigma)
+        else:
+            entropy = -logp                  # reference parity (Agent.py:124)
 
         s_new = update_return_scale(s_scale, R, cfg.agent.s_ema)
         norm = sg(jnp.maximum(s_new, 1.0))

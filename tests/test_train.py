@@ -126,6 +126,43 @@ class TestACUpdate:
         _, metrics = trainer.ac_step(state, buf, jax.random.PRNGKey(8))
         assert np.isfinite(float(metrics["ac/entropy"]))
 
+    def test_analytic_entropy_flag(self):
+        """agent.analytic_entropy=True regularises the base-Normal's analytic
+        entropy (sigma-only, no tanh-saturation bias).  At init the actor's
+        sigma is ~softplus(0)+min_std everywhere, so the reported entropy
+        must equal the closed form, and the update must still run."""
+        from dreamer_tpu.core.dists import normal_entropy
+
+        cfg = small_config()
+        cfg.agent.analytic_entropy = True
+        cfg.agent.min_std = 0.1
+        trainer = Trainer(cfg)
+        key = jax.random.PRNGKey(0)
+        state = trainer.init_state(key)
+        buf = trainer.buffer.init_state()
+        n = 40
+        obs = (jax.random.uniform(key, (n, 32, 32, 3)) * 255).astype(jnp.uint8)
+        act = jax.random.uniform(key, (n, 2), minval=-1, maxval=1)
+        buf = trainer.buffer.add_batch(
+            buf, obs[None], act[None], jnp.zeros((1, n)), jnp.ones((1, n)))
+        new_state, metrics = trainer.ac_step(state, buf, jax.random.PRNGKey(5))
+        assert float(metrics["ac/update_skipped"]) == 0.0
+        ent = float(metrics["ac/entropy"])
+        # The analytic entropy depends only on sigma, which at init lives in
+        # a narrow band around softplus(~0) + min_std: the value must fall
+        # between the closed forms at sigma = min_std and sigma = 2.
+        lo = float(normal_entropy(jnp.full((2,), cfg.agent.min_std)))
+        hi = float(normal_entropy(jnp.full((2,), 2.0)))
+        assert lo < ent < hi, (lo, ent, hi)
+        # And it is NOT the sample-based estimate the parity path reports
+        # (identical config/keys, only the flag differs).
+        cfg2 = small_config()
+        cfg2.agent.min_std = 0.1
+        trainer2 = Trainer(cfg2)
+        state2 = trainer2.init_state(jax.random.PRNGKey(0))
+        _, m2 = trainer2.ac_step(state2, buf, jax.random.PRNGKey(5))
+        assert ent != pytest.approx(float(m2["ac/entropy"]), abs=1e-6)
+
 
 class TestTrainIteration:
     def test_combined_step(self, trainer_and_state):
