@@ -810,8 +810,14 @@ class Dreamer:
         cfg = self.cfg.train
         self.stopped = False
         restored = False
+        self._touch_heartbeat()
         if resume:
             restored = self.restore_latest()
+            # The restore itself can take ~10 min through a slow checkpoint
+            # tunnel with no intermediate liveness signal; bracket it with
+            # touches so the supervisor watchdog measures the NEXT phase
+            # from here, not from process start.
+            self._touch_heartbeat()
 
         log = print if progress else (lambda *a, **k: None)
         log("Starting Training...")

@@ -30,10 +30,29 @@ class MetricsLogger:
         self.critic_losses: List[float] = []
         self.eval_rewards: List[float] = []
         self._csv_path = os.path.join(self.log_dir, csv_name)
+        if enabled:
+            # A supervised run restarts into the SAME log_dir; opening the
+            # csv/npz with "w" would destroy the previous legs' metrics
+            # (observed round 4: a restart erased 2,400 iterations of curve
+            # incl. an eval point).  Rotate existing files to leg-numbered
+            # names; tools/harvest_evidence.py re-concatenates them.
+            self._rotate_existing(self._csv_path)
+            self._rotate_existing(os.path.join(self.log_dir,
+                                               "training_logs.npz"))
         self._csv_file = None
         self._csv_writer = None
         self._csv_fields: Optional[List[str]] = None
         self._t0 = time.time()
+
+    @staticmethod
+    def _rotate_existing(path: str):
+        if not os.path.exists(path):
+            return
+        base, ext = os.path.splitext(path)
+        n = 1
+        while os.path.exists(f"{base}.leg{n}{ext}"):
+            n += 1
+        os.replace(path, f"{base}.leg{n}{ext}")
 
     # ------------------------------------------------------------------ #
 

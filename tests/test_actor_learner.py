@@ -10,6 +10,7 @@ from tests.test_orchestrator import smoke_cfg
 
 
 class TestRolloutDeviceCPU:
+    @pytest.mark.heavy
     def test_cpu_rollout_trains(self, tmp_path):
         cfg = smoke_cfg(tmp_path, **{"runtime.rollout_device": "cpu"})
         d = Dreamer(cfg)
@@ -17,6 +18,7 @@ class TestRolloutDeviceCPU:
         assert np.isfinite(final)
         assert d.iteration == 4
 
+    @pytest.mark.heavy
     def test_policy_params_cached_per_state(self, tmp_path):
         cfg = smoke_cfg(tmp_path, **{"runtime.rollout_device": "cpu"})
         d = Dreamer(cfg)
@@ -34,6 +36,7 @@ class TestAsyncRollout:
         with pytest.raises(ValueError):
             Dreamer(smoke_cfg(tmp_path, **{"runtime.async_rollout": True}))
 
+    @pytest.mark.heavy
     def test_async_training_runs(self, tmp_path):
         cfg = smoke_cfg(tmp_path, **{"runtime.rollout_device": "cpu",
                                      "runtime.async_rollout": True})

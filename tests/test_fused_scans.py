@@ -42,6 +42,7 @@ def _batch(key, wm_cfg, B=4, T=6):
 
 
 class TestObserveFused:
+    @pytest.mark.heavy
     def test_forward_identical(self, rng):
         base, fused, params, wm_cfg = make_rssms()
         obs, actions = _batch(rng, wm_cfg)
@@ -69,6 +70,7 @@ class TestObserveFused:
         flat_b, _ = jax.flatten_util.ravel_pytree(gb)
         np.testing.assert_allclose(flat_a, flat_b, rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.heavy
     def test_grads_match_bf16(self, rng):
         base, fused, params, wm_cfg = make_rssms(dtype=jnp.bfloat16)
         obs, actions = _batch(rng, wm_cfg)
@@ -137,6 +139,7 @@ class TestImagineFused:
         flat_b, _ = jax.flatten_util.ravel_pytree(gb)
         np.testing.assert_allclose(flat_a, flat_b, rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.heavy
     def test_wm_grads_match(self):
         """Gradients w.r.t. the (frozen-in-training) WM params also agree —
         guards the full chain through GRU + prior head."""
@@ -155,6 +158,7 @@ class TestImagineFused:
 
 
 class TestTrainerFused:
+    @pytest.mark.heavy
     def test_full_update_close(self, rng):
         """One full train_iteration under fused vs autodiff scans produces
         near-identical new parameters (f32, CPU)."""

@@ -42,6 +42,7 @@ class TestRollout:
         assert not np.allclose(h1, h2)  # state carried and evolved, not reset
 
 
+@pytest.mark.heavy
 class TestTrainLoop:
     def test_short_training_run(self, tmp_path):
         d = Dreamer(smoke_cfg(tmp_path))
@@ -83,6 +84,7 @@ class TestTrainLoop:
         assert np.isfinite(reward)
 
 
+@pytest.mark.heavy
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         d = Dreamer(smoke_cfg(tmp_path))
@@ -276,6 +278,7 @@ class TestCheckpoint:
         assert d.ckpt.latest_step() == 1  # final save still wins LATEST
 
 
+@pytest.mark.heavy
 class TestEpisodeBoundaryTraining:
     def test_short_run_with_boundary_resets(self, tmp_path):
         """End-to-end train with wm.reset_on_episode_start=true on a fake env
@@ -367,6 +370,7 @@ class TestWeightBroadcast:
         assert cpu in k.devices()
 
 
+@pytest.mark.heavy
 class TestDeterminism:
     def test_same_seed_same_metrics(self, tmp_path):
         cfg1 = smoke_cfg(tmp_path / "a")

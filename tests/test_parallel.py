@@ -18,11 +18,13 @@ class TestMesh:
 
 
 class TestShardedTraining:
+    @pytest.mark.heavy
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.heavy
     def test_sharded_matches_single_device(self):
         """DP over 4 devices must produce the same update as 1 device (same
         keys, same data): the psum'd sharded gradient == the full-batch
@@ -76,6 +78,7 @@ class TestShardedTraining:
         assert lowered is not None
 
 
+@pytest.mark.heavy
 class TestTensorParallel:
     def test_flagship_widths_shard_and_match_single_device(self):
         """TP at REAL widths (VERDICT r1 item 3): the (1027,1800)/(600,1800)
@@ -157,6 +160,7 @@ class TestShardLocalSampling:
         state = buffer.add_batch(state, obs, act, rew, cont)
         return buffer, state
 
+    @pytest.mark.heavy
     def test_matches_global_n_shards_math(self):
         buffer, state = self._make()
         mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
@@ -196,6 +200,7 @@ class TestShardLocalSampling:
         assert "all-gather" not in text and "all-to-all" not in text, text[:2000]
 
 
+@pytest.mark.heavy
 class TestMeshFromConfig:
     def test_orchestrated_training_on_mesh(self, tmp_path):
         """Full orchestrator lifecycle with runtime.mesh_shape on the virtual
@@ -213,6 +218,7 @@ class TestMeshFromConfig:
         assert d.iteration == 4
 
 
+@pytest.mark.heavy
 class TestMeshResume:
     def test_restore_under_mesh_is_sharded_and_trains(self, tmp_path):
         """Saving from a mesh run and resuming into a fresh mesh-bound
@@ -243,6 +249,7 @@ class TestMeshResume:
         assert np.isfinite(float(m["wm/loss"]))
 
 
+@pytest.mark.heavy
 class TestDryrunDeviceCounts:
     @pytest.mark.parametrize("n", [1, 2, 4])
     def test_dryrun_various_counts(self, n):

@@ -167,6 +167,7 @@ class TestEpisodeBoundaryReset:
     (its per-step loss mask, WorldModel.py:170-173, still carries state
     across env auto-resets; diagnosed as the LunarLander failure)."""
 
+    @pytest.mark.heavy
     def test_post_boundary_independent_of_prefix(self, rssm_small):
         cfg, rssm, params = rssm_small
         B, T, t_b = 2, 8, 4

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_orchestrator import smoke_cfg
 
@@ -104,6 +105,7 @@ class TestTopologyIndependentRestore:
                                       np.asarray(jax.random.PRNGKey(7)))
 
 
+@pytest.mark.heavy
 class TestGracefulShutdown:
     def test_sigterm_checkpoints_and_exits_tempfail(self, tmp_path):
         """SIGTERM must finish the current iteration, write a checkpoint, and
@@ -225,6 +227,7 @@ class TestAsyncCheckpoint:
         import os
         assert "ckpt_1" not in os.listdir(tmp_path)
 
+    @pytest.mark.heavy
     def test_orchestrator_async_checkpoint(self, tmp_path):
         from dreamer_tpu.orchestrator import Dreamer
         from tests.test_orchestrator import smoke_cfg

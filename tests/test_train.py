@@ -52,6 +52,7 @@ def trainer_and_state():
 
 
 class TestWMUpdate:
+    @pytest.mark.heavy
     def test_loss_finite_and_params_change(self, trainer_and_state):
         cfg, trainer, state, buf = trainer_and_state
         new_state, metrics = trainer.wm_step(state, buf, jax.random.PRNGKey(1))
@@ -77,6 +78,7 @@ class TestWMUpdate:
             losses.append(float(m["wm/loss"]))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    @pytest.mark.heavy
     def test_nan_batch_skips_update(self, trainer_and_state):
         cfg, trainer, state, buf = trainer_and_state
         from dreamer_tpu.train.world_model import wm_update
@@ -92,6 +94,7 @@ class TestWMUpdate:
 
 
 class TestACUpdate:
+    @pytest.mark.heavy
     def test_runs_and_updates(self, trainer_and_state):
         cfg, trainer, state, buf = trainer_and_state
         new_state, metrics = trainer.ac_step(state, buf, jax.random.PRNGKey(5))
@@ -165,6 +168,7 @@ class TestACUpdate:
 
 
 class TestTrainIteration:
+    @pytest.mark.heavy
     def test_combined_step(self, trainer_and_state):
         cfg, trainer, state, buf = trainer_and_state
         new_state, metrics = trainer.train_iteration(state, buf, jax.random.PRNGKey(9))

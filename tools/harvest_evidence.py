@@ -32,16 +32,55 @@ def main():
 
     from tools.plot_results import plot_curves
 
+    # A supervised run's restarts rotate per-leg files (metrics.leg1.csv,
+    # training_logs.leg1.npz, ...; utils/metrics.py) — concatenate legs in
+    # order, current file last, so the harvested curve covers the WHOLE run.
+    def leg_files(base, ext):
+        import re
+
+        out = []
+        for f in os.listdir(logs):
+            m = re.fullmatch(re.escape(base) + r"\.leg(\d+)" + re.escape(ext), f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(logs, f)))
+        out.sort()
+        cur = os.path.join(logs, base + ext)
+        return [p for _, p in out] + ([cur] if os.path.exists(cur) else [])
+
+    npz_files = leg_files("training_logs", ".npz")
     npz = os.path.join(logs, "training_logs.npz")
+    if len(npz_files) > 1:
+        merged = {}
+        for p in npz_files:
+            d = np.load(p)
+            for k in d.files:
+                arr = np.asarray(d[k])
+                merged.setdefault(k, []).append(arr)
+        npz = os.path.join(logs, "training_logs_merged.npz")
+        np.savez(npz, **{k: np.concatenate(v, axis=0)
+                         for k, v in merged.items()})
     png = os.path.join(args.out, f"{args.name}_curves.png")
     plot_curves(npz, png)
 
     data = np.load(npz)
-    rows = list(csv.DictReader(open(os.path.join(logs, "metrics.csv"))))
+    rows = []
+    for p in leg_files("metrics", ".csv"):
+        rows.extend(csv.DictReader(open(p)))
     eval_rows = [(int(r["iteration"]), float(r["eval/mean_reward"]))
                  for r in rows if r.get("eval/mean_reward")]
     train_rows = [r for r in rows if r.get("rollout/reward_mean")]
-    wall_hours = float(train_rows[-1]["wall_time"]) / 3600 if train_rows else 0.0
+    # wall_time restarts at 0 each leg; total wall = sum of per-segment maxima
+    # (a drop between consecutive rows marks a leg boundary).
+    wall_hours, seg_max = 0.0, 0.0
+    for r in rows:
+        if not r.get("wall_time"):
+            continue
+        w = float(r["wall_time"])
+        if w < seg_max:
+            wall_hours += seg_max
+            seg_max = 0.0
+        seg_max = max(seg_max, w)
+    wall_hours = (wall_hours + seg_max) / 3600
 
     summary = {
         "name": args.name,

@@ -28,7 +28,7 @@ export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 # stalled the run 1h+; exit-code supervision alone cannot catch a hang).
 # eval_every=250: finer curve around the collapse-question regime.
 nohup python tools/run_supervised.py --config configs/car_racer.yaml --max-restarts 50 \
-  --watch-file runs/carracer_r3/logs/heartbeat --hang-timeout 1800 \
+  --watch-file runs/carracer_r3/logs/heartbeat --hang-timeout 900 \
   -- --resume --overrides \
      runtime.rollout_device=cpu runtime.async_rollout=true \
      runtime.checkpoint_replay=false runtime.async_checkpoint=true \
