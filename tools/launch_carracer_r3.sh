@@ -28,12 +28,12 @@ export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 # stalled the run 1h+; exit-code supervision alone cannot catch a hang).
 # eval_every=250: finer curve around the collapse-question regime.
 nohup python tools/run_supervised.py --config configs/car_racer.yaml --max-restarts 50 \
-  --watch-file runs/carracer_r3/logs/heartbeat --hang-timeout 900 \
+  --watch-file runs/carracer_r3/logs/heartbeat --hang-timeout 1800 \
   -- --resume --overrides \
      runtime.rollout_device=cpu runtime.async_rollout=true \
      runtime.checkpoint_replay=false runtime.async_checkpoint=true \
      train.resume_prime_iterations=200 train.checkpoint_every=250 \
-     train.eval_every=250 \
+     train.eval_every=250 agent.nu=3e-3 \
      runtime.log_dir=runs/carracer_r3/logs \
      runtime.checkpoint_dir=runs/carracer_r3/models \
   > runs/carracer_r3/stdout.log 2>&1 &
