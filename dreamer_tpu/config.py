@@ -307,7 +307,13 @@ class DreamerConfig:
         )
 
     def with_override(self, dotted: str) -> "DreamerConfig":
-        """Apply 'section.key=value' override (value parsed as YAML)."""
+        """Apply 'section.key=value' override (value parsed as YAML).
+
+        Coerces by the target field's current type: YAML 1.1 reads bare
+        scientific notation like ``3e-3`` as a STRING (it requires ``3.0e-3``),
+        which round 4 shipped into a jitted loss as a str and crashed the
+        trainer mid-run — numeric-typed fields therefore re-parse string
+        values with float()/int() instead of silently storing the str."""
         path, _, value = dotted.partition("=")
         section, _, key = path.partition(".")
         parsed = yaml.safe_load(value)
@@ -316,6 +322,16 @@ class DreamerConfig:
         sub = getattr(self, section)
         if not hasattr(sub, key):
             raise KeyError(f"Unknown config key {section}.{key}")
+        current = getattr(sub, key)
+        if isinstance(parsed, str) and isinstance(current, bool):
+            raise ValueError(f"{path}: could not parse {value!r} as bool")
+        if isinstance(parsed, str) and isinstance(current, (int, float)):
+            try:
+                parsed = type(current)(float(parsed))
+            except ValueError:
+                raise ValueError(
+                    f"{path}: could not parse {value!r} as "
+                    f"{type(current).__name__}") from None
         new_sub = dataclasses.replace(sub, **{key: parsed})
         return dataclasses.replace(self, **{section: new_sub})
 

@@ -94,3 +94,26 @@ class TestOverrides:
     def test_unknown_key_rejected(self):
         with pytest.raises(KeyError):
             DreamerConfig().with_override("wm.nonexistent=1")
+
+
+class TestOverrideNumericCoercion:
+    def test_scientific_notation_string_coerces_to_float(self):
+        """YAML 1.1 parses bare '3e-3' as a string (needs '3.0e-3' for
+        float); the override path must coerce by the target field's type —
+        a str nu reached a jitted loss and crashed a live run (round 4)."""
+        from dreamer_tpu.config import DreamerConfig
+
+        cfg = DreamerConfig.from_yaml(
+            "configs/fake_smoke.yaml", overrides=["agent.nu=3e-3"])
+        assert isinstance(cfg.agent.nu, float)
+        assert cfg.agent.nu == pytest.approx(3e-3)
+        cfg = DreamerConfig.from_yaml(
+            "configs/fake_smoke.yaml", overrides=["train.eval_every=1e2"])
+        assert cfg.train.eval_every == 100 and isinstance(cfg.train.eval_every, int)
+
+    def test_unparseable_numeric_override_rejected(self):
+        from dreamer_tpu.config import DreamerConfig
+
+        with pytest.raises(ValueError):
+            DreamerConfig.from_yaml("configs/fake_smoke.yaml",
+                                    overrides=["agent.nu=not_a_number"])

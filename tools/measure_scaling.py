@@ -31,7 +31,7 @@ TIMED_ITERS = 6
 WARMUP_ITERS = 2
 
 
-def overrides(out_dir, mesh_rows):
+def overrides(out_dir, mesh_rows, envs_per_proc):
     return [
         f"runtime.mesh_shape=[{mesh_rows},1]",
         "runtime.rollout_device=cpu",
@@ -39,7 +39,9 @@ def overrides(out_dir, mesh_rows):
                                            # psum payload (f32 grads) is
                                            # unchanged by compute dtype
         "env.env_id=fake",
-        "env.num_envs=1",
+        # 2 GLOBAL env streams in both topologies (ring env-axis shards
+        # over the data axis): 2 local for 1-proc, 1 per process for 2-proc
+        f"env.num_envs={envs_per_proc}",
         "train.batch_size=4",              # tiny compute, full-width params
         "train.sequence_length=12",
         "train.horizon=8",
@@ -64,7 +66,9 @@ def worker():
     init_distributed()
     out_dir = sys.argv[2]
     mesh_rows = int(sys.argv[3])
-    cfg = DreamerConfig.from_yaml(CFG, overrides=overrides(out_dir, mesh_rows))
+    envs_per_proc = int(sys.argv[4])
+    cfg = DreamerConfig.from_yaml(
+        CFG, overrides=overrides(out_dir, mesh_rows, envs_per_proc))
     d = Dreamer(cfg)
     while int(d._host_value(d.buf.size)) < cfg.train.sequence_length:
         d.rollout_policy(random_policy=True)
@@ -107,8 +111,10 @@ def launch(n_proc, out_dir):
                              JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
                              JAX_NUM_PROCESSES=str(n_proc),
                              JAX_PROCESS_ID=str(pid)))
+    envs_per_proc = 2 if n_proc == 1 else 1
     procs = [subprocess.Popen(
-        [sys.executable, __file__, "--worker", f"{out_dir}/p{i}", "2"],
+        [sys.executable, __file__, "--worker", f"{out_dir}/p{i}", "2",
+         str(envs_per_proc)],
         env=e, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for i, e in enumerate(envs)]
     outs = [p.communicate(timeout=3600)[0] for p in procs]
