@@ -479,3 +479,95 @@ def _observe_bwd(cfg, res, cots):
 
 
 observe_scan.defvjp(_observe_fwd, _observe_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Episode-boundary-reset variant (wm.reset_on_episode_start)
+# --------------------------------------------------------------------------- #
+
+
+def _observe_step_reset(params, cfg: _ObserveCfg, carry, feat, a_prev, gum,
+                        f_t, taps, want_acts):
+    """_observe_step with the episode-boundary reset applied FIRST: where
+    is_first[t]=1 the incoming carry (h, z) and previous action are zeroed —
+    the t=0 episode-start condition, applied mid-scan (rssm.observe_sequence
+    docstring).  The mask lives inside this function so the backward's
+    per-step jax.vjp cuts the carry cotangent at boundaries automatically."""
+    h, z = carry
+    m = (1.0 - f_t)[:, None]
+    carry = (h * m, z * m)
+    a_prev = a_prev * m.astype(a_prev.dtype)
+    return _observe_step(params, cfg, carry, feat, a_prev, gum, taps, want_acts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def observe_scan_reset(cfg: _ObserveCfg, params, h0, z0, feats, a_in, gum,
+                       is_first):
+    """observe_scan + per-step episode-boundary resets (is_first: (T, B) f32).
+
+    Kept as a SEPARATE entry point so non-terminating configs keep the
+    unchanged observe_scan trace (and its compilation cache entries)."""
+    return _observe_reset_fwd(cfg, params, h0, z0, feats, a_in, gum,
+                              is_first)[0]
+
+
+def _observe_reset_fwd(cfg, params, h0, z0, feats, a_in, gum, is_first):
+    def step(carry, xs):
+        ft, at, gt, bt = xs
+        carry2, ys, _ = _observe_step_reset(params, cfg, carry, ft, at, gt,
+                                            bt, None, False)
+        return carry2, ys
+
+    _, ys = jax.lax.scan(step, (h0, z0), (feats, a_in, gum, is_first),
+                         unroll=cfg.unroll)
+    h_seq, z_seq, _ = ys
+    return ys, (params, h0, z0, feats, a_in, gum, is_first, h_seq, z_seq)
+
+
+def _observe_reset_bwd(cfg, res, cots):
+    params, h0, z0, feats, a_in, gum, is_first, h_seq, z_seq = res
+    d_hseq, d_zseq, d_logitseq = cots
+    B = h0.shape[0]
+    zero_taps = _zeros_taps(_observe_tap_shapes(params, B), f32)
+
+    h_prev = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+    z_prev = jnp.concatenate([z0[None], z_seq[:-1]], axis=0)
+
+    def bwd_step(carry, xs):
+        dh_next, dz_next = carry
+        h_t, z_t, f_t, a_t, g_t, b_t, dh_t, dz_t, dl_t = xs
+
+        def f(c, ft, taps):
+            carry2, ys, acts = _observe_step_reset(params, cfg, c, ft, a_t,
+                                                   g_t, b_t, taps, True)
+            return (carry2, ys), acts
+
+        _, pullback, acts = jax.vjp(f, (h_t, z_t), f_t, zero_taps, has_aux=True)
+        cot = ((dh_next, dz_next), (dh_t, dz_t, dl_t))
+        (dc, dfeat, dtaps) = pullback(cot)
+        return dc, (dtaps, acts, dfeat)
+
+    xs = (h_prev, z_prev, feats, a_in, gum, is_first, d_hseq, d_zseq,
+          d_logitseq)
+    (dh0, dz0), (dtaps, acts, dfeats) = jax.lax.scan(
+        bwd_step, (jnp.zeros_like(h0), jnp.zeros_like(z0)), xs,
+        unroll=cfg.unroll, reverse=True)
+
+    dpost = _mlp_grads(params["post"], cfg.n_post_hidden, "p.", acts, dtaps)
+    dgru = {
+        "kernel_i": jnp.einsum("tbi,tbo->io", acts["g.i"],
+                               dtaps["g.i"].astype(acts["g.i"].dtype),
+                               preferred_element_type=f32),
+        "bias_i": jnp.sum(dtaps["g.i"].astype(f32), axis=(0, 1)),
+        "kernel_h": jnp.einsum("tbi,tbo->io", acts["g.h"],
+                               dtaps["g.h"].astype(acts["g.h"].dtype),
+                               preferred_element_type=f32),
+        "bias_h": jnp.sum(dtaps["g.h"].astype(f32), axis=(0, 1)),
+    }
+    dparams = {"gru": dgru, "post": dpost}
+    return (dparams, dh0, dz0, dfeats, jnp.zeros_like(a_in),
+            jnp.zeros_like(gum), jnp.zeros_like(is_first))
+
+
+observe_scan_reset.defvjp(_observe_reset_fwd, _observe_reset_bwd)
+

@@ -217,10 +217,32 @@ class RSSM:
         h0, z0 = self.initial_state(B)
         keys = jax.random.split(key, T)
 
+        if is_first is not None and self.fused_scan_grads:
+            # Deferred-dW path with the reset mask threaded through
+            # (observe_scan_reset — a separate entry point so
+            # non-terminating configs keep the unchanged observe_scan trace
+            # and its compile-cache entries).
+            from dreamer_tpu.ops.fused_scans import (_ObserveCfg,
+                                                     observe_scan_reset)
+
+            c = self.cfg
+            gum = jax.vmap(lambda k: jax.random.gumbel(
+                k, (B, c.latent_rows, c.latent_classes), jnp.float32))(keys)
+            ocfg = _ObserveCfg(unimix=c.unimix, latent_dim=c.latent_dim,
+                               rows=c.latent_rows, classes=c.latent_classes,
+                               dtype=self.dtype, unroll=self.scan_unroll)
+            sub = {"gru": params["gru"], "post": params["posterior_head"]}
+            h_seq, z_seq, logit_seq = observe_scan_reset(
+                ocfg, sub, h0, z0, feats.swapaxes(0, 1),
+                a_in.swapaxes(0, 1), gum,
+                is_first.astype(jnp.float32).swapaxes(0, 1))
+            return ObservedSequence(h=h_seq.swapaxes(0, 1),
+                                    z=z_seq.swapaxes(0, 1),
+                                    post_logits=logit_seq.swapaxes(0, 1))
+
         if is_first is not None:
-            # Boundary resets ride the plain autodiff scan: the deferred-dW
-            # fused VJP does not thread the reset mask (yet); correctness
-            # over the ~10% scan speedup for terminating-env configs.
+            # Boundary resets on the plain autodiff scan (fused_scan_grads
+            # off / Pallas-GRU configs).
             def step_reset(carry, xs):
                 h, z = carry
                 feat_t, a_t, k_t, f_t = xs

@@ -96,6 +96,62 @@ class TestObserveFused:
         assert abs(na - nb) / na < 0.01
 
 
+class TestObserveFusedReset:
+    """observe_scan_reset: the deferred-dW path with episode-boundary resets
+    (wm.reset_on_episode_start) must match the plain autodiff reset scan
+    bit-for-bit forward and allclose in gradients."""
+
+    def _flags(self, obs):
+        B, T = obs.shape[:2]
+        return jnp.zeros((B, T)).at[:, T // 2].set(1.0)
+
+    def test_forward_identical(self, rng):
+        base, fused, params, wm_cfg = make_rssms()
+        obs, actions = _batch(rng, wm_cfg)
+        key = jax.random.PRNGKey(7)
+        is_first = self._flags(obs)
+        a = base.observe_sequence(params, obs, actions, key, is_first=is_first)
+        b = fused.observe_sequence(params, obs, actions, key, is_first=is_first)
+        np.testing.assert_allclose(a.h, b.h, rtol=0, atol=0)
+        np.testing.assert_allclose(a.z, b.z, rtol=0, atol=0)
+        np.testing.assert_allclose(a.post_logits, b.post_logits, rtol=0, atol=0)
+
+    def test_grads_match(self, rng):
+        base, fused, params, wm_cfg = make_rssms()
+        obs, actions = _batch(rng, wm_cfg)
+        key = jax.random.PRNGKey(7)
+        is_first = self._flags(obs)
+
+        def loss(rssm, p):
+            seq = rssm.observe_sequence(p, obs, actions, key,
+                                        is_first=is_first)
+            return (jnp.sum(seq.h ** 2) + 2.0 * jnp.sum(seq.z ** 3)
+                    + jnp.sum(jnp.sin(seq.post_logits)))
+
+        ga = jax.grad(lambda p: loss(base, p))(params)
+        gb = jax.grad(lambda p: loss(fused, p))(params)
+        flat_a, _ = jax.flatten_util.ravel_pytree(ga)
+        flat_b, _ = jax.flatten_util.ravel_pytree(gb)
+        np.testing.assert_allclose(flat_a, flat_b, rtol=2e-4, atol=2e-5)
+
+    def test_fused_post_boundary_independent_of_prefix(self, rng):
+        """The boundary-cut property holds on the fused path too."""
+        _, fused, params, wm_cfg = make_rssms()
+        obs, actions = _batch(rng, wm_cfg)
+        key = jax.random.PRNGKey(9)
+        B, T = obs.shape[:2]
+        t_b = T // 2
+        is_first = jnp.zeros((B, T)).at[:, t_b].set(1.0)
+        obs2 = obs.at[:, :t_b].add(0.123)
+        act2 = actions.at[:, :t_b].add(-0.5)
+        s1 = fused.observe_sequence(params, obs, actions, key,
+                                    is_first=is_first)
+        s2 = fused.observe_sequence(params, obs2, act2, key,
+                                    is_first=is_first)
+        np.testing.assert_allclose(np.asarray(s1.h[:, t_b:]),
+                                   np.asarray(s2.h[:, t_b:]), atol=1e-6)
+
+
 class TestImagineFused:
     def _setup(self, dtype=jnp.float32):
         base, fused, params, wm_cfg = make_rssms(dtype)
