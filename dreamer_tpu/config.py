@@ -47,6 +47,11 @@ class WorldModelConfig:
     beta_dyn: float = 0.5
     beta_rep: float = 0.1
     free_bits: float = 1.0                # max(1, E[KL]) — WorldModel.py:187-188
+    # Paper-correct free bits (DreamerV3 eq. 5): clip each state's KL at the
+    # floor BEFORE the batch mean.  The reference floors AFTER the mean
+    # (WorldModel.py:187-188), which zeroes the whole KL gradient whenever
+    # the mean dips under 1 nat.  Off by default for parity.
+    free_bits_per_sample: bool = False
     # Zero the RSSM carry (h, z) and incoming action at env auto-reset
     # boundaries inside sampled training windows (is_first = 1 - cont[t-1]).
     # The reference only per-step-masks the LOSS at the terminal step

@@ -97,8 +97,18 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
     kl_rep = categorical_kl(post, jax.lax.stop_gradient(prior)).sum(-1)
     dkl_dyn = jnp.mean(kl_dyn * mask)
     dkl_rep = jnp.mean(kl_rep * mask)
-    loss_dyn = jnp.maximum(w.free_bits, dkl_dyn)
-    loss_rep = jnp.maximum(w.free_bits, dkl_rep)
+    if w.free_bits_per_sample:
+        # Paper-correct free bits (DreamerV3 eq. 5): clip each (b, t) KL at
+        # the floor BEFORE averaging — below-floor states stop contributing
+        # gradient individually, above-floor states always do.
+        loss_dyn = jnp.mean(jnp.maximum(w.free_bits, kl_dyn) * mask)
+        loss_rep = jnp.mean(jnp.maximum(w.free_bits, kl_rep) * mask)
+    else:
+        # Reference parity (WorldModel.py:187-188): floor applied AFTER the
+        # mean — the whole KL term has zero gradient whenever the MEAN KL is
+        # under the floor.
+        loss_dyn = jnp.maximum(w.free_bits, dkl_dyn)
+        loss_rep = jnp.maximum(w.free_bits, dkl_rep)
 
     total = w.beta_pred * loss_pred + w.beta_dyn * loss_dyn + w.beta_rep * loss_rep
     metrics = {

