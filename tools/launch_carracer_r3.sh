@@ -33,7 +33,7 @@ nohup python tools/run_supervised.py --config configs/car_racer.yaml --max-resta
      runtime.rollout_device=cpu runtime.async_rollout=true \
      runtime.checkpoint_replay=false runtime.async_checkpoint=true \
      train.resume_prime_iterations=200 train.checkpoint_every=250 \
-     train.eval_every=250 agent.nu=3e-3 \
+     train.eval_every=250 agent.nu=1e-2 train.eval_episodes=5 \
      runtime.log_dir=runs/carracer_r3/logs \
      runtime.checkpoint_dir=runs/carracer_r3/models \
   > runs/carracer_r3/stdout.log 2>&1 &
