@@ -53,6 +53,7 @@ class TestObserveFused:
         np.testing.assert_allclose(a.z, b.z, rtol=0, atol=0)
         np.testing.assert_allclose(a.post_logits, b.post_logits, rtol=0, atol=0)
 
+    @pytest.mark.heavy
     def test_grads_match(self, rng):
         base, fused, params, wm_cfg = make_rssms()
         obs, actions = _batch(rng, wm_cfg)

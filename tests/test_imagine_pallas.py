@@ -82,6 +82,7 @@ def test_forward_matches_xla_scan(setup):
                                    rtol=2e-5, atol=2e-6, err_msg=name)
 
 
+@pytest.mark.heavy
 def test_grads_match_xla_scan(setup):
     """The backward is SHARED (fused_scans._imagine_bwd); with matching
     forward values the gradients must agree to f32 noise."""

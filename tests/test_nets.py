@@ -74,6 +74,7 @@ class TestWMNets:
         assert rew.shape == (2, 4, cfg.reward_buckets)
         assert cont.shape == (2, 4, 1)
 
+    @pytest.mark.heavy
     def test_full_size_param_count(self):
         # SURVEY §2.1: ~9M params total at the reference config; GRU alone
         # = 3*600*(1027+600) + 2*3*600 = 2,932,200.

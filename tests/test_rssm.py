@@ -33,6 +33,7 @@ class TestObserveSequence:
         assert seq.z.shape == (B, T, cfg.latent_dim)
         assert seq.post_logits.shape == (B, T, cfg.latent_rows, cfg.latent_classes)
 
+    @pytest.mark.heavy
     def test_scan_matches_stepwise_loop(self, rssm_small):
         """The lax.scan unroll must equal the reference's python loop of
         observe_step calls (WorldModel.py:91-107) given the same keys."""
@@ -64,6 +65,7 @@ class TestObserveSequence:
         z = np.asarray(seq.z).reshape(2, 4, cfg.latent_rows, cfg.latent_classes)
         np.testing.assert_allclose(z.sum(-1), np.ones((2, 4, cfg.latent_rows)), atol=1e-5)
 
+    @pytest.mark.heavy
     def test_gradient_flows_to_encoder(self, rssm_small):
         cfg, rssm, params = rssm_small
         obs = _rand_obs(jax.random.PRNGKey(9), 2, 3)
@@ -224,6 +226,7 @@ class TestEpisodeBoundaryReset:
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
         np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
 
+    @pytest.mark.heavy
     def test_gradients_flow_with_resets(self, rssm_small):
         cfg, rssm, params = rssm_small
         B, T = 2, 6
