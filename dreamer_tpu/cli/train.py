@@ -64,7 +64,7 @@ def main(argv=None):
         if multiprocess:
             print(f"multi-host: {jax.process_count()} processes, "
                   f"process {jax.process_index()}")
-    dreamer = Dreamer(cfg)
+    dreamer = Dreamer(cfg, resuming=args.resume)
 
     # Graceful preemption: SIGTERM checkpoints after the current iteration
     # and exits 0 (zero lost progress; the supervisor sees a clean finish).

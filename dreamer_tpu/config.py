@@ -175,6 +175,16 @@ class RuntimeConfig:
     # f32, on bf16-rounded weights.  Default keeps full-precision parity.
     broadcast_dtype: str = "float32"
     debug_nans: bool = False              # jax_debug_nans dev mode (SURVEY §5)
+    # Pass the entropy coefficient agent.nu into the fused train program as a
+    # TRACED scalar instead of a baked compile-time constant.  Dose changes —
+    # the round-4 anti-collapse intervention (docs/evidence/
+    # carracer_collapse_diagnosis.md) — then cost a scalar transfer, not a
+    # ~20-min recompile: a restart with a different agent.nu override hits
+    # the same warm-cache entry, and the orchestrator also polls
+    # <log_dir>/nu_override every iteration for LIVE dose changes without a
+    # restart.  Off by default so existing configs keep their compiled
+    # program hashes (warm-cache compatibility).
+    traced_nu: bool = False
     # lax.scan unroll factor for the RSSM time scans (observe/warm-start/
     # imagine).  The scan steps are small (B=50 rows), so per-step while-loop
     # overhead dominates their runtime; unrolling lets XLA fuse across steps.
@@ -332,11 +342,25 @@ class DreamerConfig:
             raise ValueError(f"{path}: could not parse {value!r} as bool")
         if isinstance(parsed, str) and isinstance(current, (int, float)):
             try:
-                parsed = type(current)(float(parsed))
+                as_float = float(parsed)
             except ValueError:
                 raise ValueError(
                     f"{path}: could not parse {value!r} as "
                     f"{type(current).__name__}") from None
+            # int-typed fields reject non-integral values instead of silently
+            # truncating (e.g. train.eval_every=1.23e1 must not become 12).
+            if isinstance(current, bool) is False and isinstance(current, int) \
+                    and as_float != int(as_float):
+                raise ValueError(
+                    f"{path}: {value!r} is not an integer (field is int-typed)")
+            parsed = type(current)(as_float)
+        if isinstance(parsed, float) and isinstance(current, int) \
+                and not isinstance(current, bool):
+            # YAML float into an int field (e.g. eval_every=12.3): same rule.
+            if parsed != int(parsed):
+                raise ValueError(
+                    f"{path}: {value!r} is not an integer (field is int-typed)")
+            parsed = int(parsed)
         new_sub = dataclasses.replace(sub, **{key: parsed})
         return dataclasses.replace(self, **{section: new_sub})
 

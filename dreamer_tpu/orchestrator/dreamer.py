@@ -35,7 +35,11 @@ from dreamer_tpu.utils import CheckpointManager, MetricsLogger
 
 class Dreamer:
     def __init__(self, cfg: DreamerConfig, env_factory: Optional[Callable] = None,
-                 jit: bool = True):
+                 jit: bool = True, resuming: bool = False):
+        """``resuming`` is a construction-time hint that this run intends to
+        ``--resume``: it decides whether pre-existing metrics files in the
+        log_dir are continuation legs (kept) or an unrelated previous run's
+        output (archived) — see MetricsLogger."""
         self.cfg = cfg
         # Under multi-host, cfg.env.num_envs is the PER-PROCESS env-farm size;
         # the learner (and its replay ring env axis) spans the global farm.
@@ -180,7 +184,8 @@ class Dreamer:
         # Only the primary process writes metrics files; checkpoint saves stay
         # collective (orbax coordinates the shard writes across processes).
         self.metrics = MetricsLogger(cfg.runtime.log_dir,
-                                     enabled=self._proc == 0)
+                                     enabled=self._proc == 0,
+                                     resuming=resuming)
         if self._proc == 0:
             self._write_run_meta()
         self.ckpt = CheckpointManager(cfg.runtime.checkpoint_dir,
@@ -192,6 +197,10 @@ class Dreamer:
         # Set by restore_latest(): whether the restored checkpoint carried the
         # replay ring.  Drives the ring-less-resume re-prime default in train().
         self._ring_restored = False
+        # Live entropy-coefficient dose (runtime.traced_nu): current value +
+        # the nu_override file's last-seen mtime (see _maybe_update_nu).
+        self._nu = float(cfg.agent.nu)
+        self._nu_mtime: Optional[float] = None
 
     # ------------------------------------------------------------------ #
     # Kickstart progress sidecar: a mid-kickstart graceful stop checkpoints
@@ -210,10 +219,18 @@ class Dreamer:
         import json
 
         path = self._kickstart_path()
+        if not restored:
+            # Fresh (non-resumed) start: a leftover sidecar from a previous
+            # run in a reused checkpoint_dir must NOT skip the kickstart for
+            # freshly initialized weights.  Remove it so this run's progress
+            # writes start clean (ADVICE r4).
+            if self._proc == 0 and os.path.exists(path):
+                os.remove(path)
+            return 0
         if os.path.exists(path):
             with open(path) as f:
                 return int(json.load(f)["rounds_done"])
-        return self.cfg.train.random_iterations if restored else 0
+        return self.cfg.train.random_iterations
 
     def _write_kickstart_progress(self, rounds_done: int):
         if self._proc != 0:
@@ -391,16 +408,48 @@ class Dreamer:
         loop only — a device-call hang (e.g. a dropped accelerator tunnel,
         observed round 4: 1h+ silent stall) blocks the main thread, so a
         stale mtime is a reliable hang signal where a thread-based heartbeat
-        would keep beating."""
-        if self._proc != 0:
-            return
-        path = os.path.join(self.cfg.runtime.log_dir, "heartbeat")
+        would keep beating.
+
+        Every process beats its own file — ``heartbeat`` on process 0,
+        ``heartbeat.proc{N}`` otherwise — so a per-host supervisor in the
+        multi-host setup can watch its own child (a proc-0-only beat would
+        make ``--watch-file`` SIGKILL a healthy non-zero-proc trainer every
+        hang-timeout; ADVICE r4).  Pass the proc-suffixed path to
+        ``run_supervised.py --watch-file`` on non-zero-rank hosts."""
+        fname = ("heartbeat" if self._proc == 0
+                 else f"heartbeat.proc{self._proc}")
+        path = os.path.join(self.cfg.runtime.log_dir, fname)
         try:
             os.makedirs(self.cfg.runtime.log_dir, exist_ok=True)
             with open(path, "a"):
                 os.utime(path, None)
         except OSError:
             pass
+
+    def _maybe_update_nu(self, log):
+        """Live entropy-dose control (runtime.traced_nu): if
+        ``<log_dir>/nu_override`` exists and its mtime changed, parse a float
+        from it and apply it from the next iteration — the round-4 flagship
+        collapse was countered by exactly this kind of mid-run dose change,
+        which then cost a graceful restart + recompile each time.  One stat()
+        per iteration; unparseable content is ignored.  Multi-host: each
+        process polls its OWN log_dir, so write the file on every host."""
+        path = os.path.join(self.cfg.runtime.log_dir, "nu_override")
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            return
+        if mtime == self._nu_mtime:
+            return
+        self._nu_mtime = mtime
+        try:
+            with open(path) as f:
+                val = float(f.read().strip())
+        except (OSError, ValueError):
+            return
+        if val != self._nu:
+            log(f"nu_override: entropy coefficient {self._nu:g} -> {val:g}")
+            self._nu = val
 
     def rollout_policy(self, random_policy: bool = False) -> Dict[str, float]:
         """Collect sequence_length transitions per env into the replay buffer."""
@@ -533,6 +582,14 @@ class Dreamer:
                 if ep < 0 or not alive[ep]:
                     obs_rows[r] = obs[r]
                     continue
+                # DELIBERATE farm bypass: eval episodes must NOT auto-reset
+                # on termination (each env runs exactly one episode), so the
+                # raw env objects are stepped directly and the farm's
+                # auto-reset bookkeeping is left untouched.  Contract: the
+                # farm is used here only as an env container + seeder, and
+                # the next eval's reset_all() re-synchronizes its state — if
+                # EnvFarm ever grows per-step internal state beyond
+                # auto-reset, this loop must switch to a farm-level API.
                 o, rwd, term, trunc, _ = farm.envs[ep].step(action_np[r])
                 totals[ep] += rwd
                 if term or trunc:
@@ -798,7 +855,16 @@ class Dreamer:
             reward = self.evaluate_agent(episodes)
         else:
             reward = 0.0
-            self._eval_seed += episodes   # mirror _evaluate_batched's advance
+            # Mirror _evaluate_batched's _eval_seed advance so the counter in
+            # every process's checkpoint tree stays identical (the orbax save
+            # is collective).  Only _eval_seed needs mirroring: non-primary
+            # processes never construct an eval farm (evaluate_agent runs on
+            # proc 0 only), so there is no farm-internal seed state here to
+            # keep in sync — revisit if eval is ever spread across processes.
+            assert self._eval_farm is None, (
+                "non-primary process unexpectedly built an eval farm; its "
+                "internal seed state is not mirrored by _eval_and_sync")
+            self._eval_seed += episodes
         return float(multihost_utils.broadcast_one_to_all(
             np.asarray(reward, np.float32)))
 
@@ -916,8 +982,18 @@ class Dreamer:
                 profiling = False
 
             train_iteration = self._sharded_iteration or self.trainer.train_iteration
+            # Traced entropy dose: with runtime.traced_nu the coefficient
+            # rides in as a scalar argument (live-updatable via the
+            # nu_override file, warm-cache-stable across dose changes);
+            # without it the call signature — and so the compiled program
+            # hash — is unchanged from the baked-constant path.
+            nu_arg = ()
             t_iter = time.perf_counter()
             phase_s = {}
+            if self.cfg.runtime.traced_nu:
+                self._maybe_update_nu(log)
+                nu_arg = (jnp.asarray(self._nu, jnp.float32),)
+                phase_s["ac/nu"] = self._nu   # dose visible in the curves
             if executor is not None:
                 # Actor-learner overlap: the host-local (CPU) actor collects
                 # the next round while the TPU learner updates on data through
@@ -925,7 +1001,7 @@ class Dreamer:
                 wm_p, actor_p = self._policy_params()
                 future = executor.submit(self._collect_chunk, False, wm_p, actor_p)
                 self.state, step_metrics = train_iteration(
-                    self.state, self.buf, self._learner_key())
+                    self.state, self.buf, self._learner_key(), *nu_arg)
                 chunks, roll_metrics = future.result()
                 self._write_chunk(chunks)
             else:
@@ -933,7 +1009,7 @@ class Dreamer:
                 phase_s["perf/rollout_s"] = time.perf_counter() - t_iter
                 t_learn = time.perf_counter()
                 self.state, step_metrics = train_iteration(
-                    self.state, self.buf, self._learner_key())
+                    self.state, self.buf, self._learner_key(), *nu_arg)
             self.iteration += 1
             # ONE host transfer for the whole metrics dict (float() per scalar
             # would cost a device round-trip each — ~26 per iteration).

@@ -135,8 +135,19 @@ class MeshPlan:
             trainer.sample_axis = None
             trainer.sample_shards = 1
 
-        return jax.jit(
+        # nu (entropy coefficient) is always a traced, replicated scalar on
+        # the sharded path so mid-run dose changes never recompile the mesh
+        # program; callers that omit it get cfg.agent.nu.
+        jitted = jax.jit(
             trainer._train_iteration,
-            in_shardings=(state_sh, buf_sh, self.replicated()),
+            in_shardings=(state_sh, buf_sh, self.replicated(),
+                          self.replicated()),
             out_shardings=(state_sh, self.replicated()),
         )
+
+        def step(state, buf, key, nu=None):
+            if nu is None:
+                nu = jnp.asarray(trainer.cfg.agent.nu, jnp.float32)
+            return jitted(state, buf, key, nu)
+
+        return step

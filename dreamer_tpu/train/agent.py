@@ -104,13 +104,18 @@ class AgentTrainer:
     def ac_loss(self, ac_params: Dict[str, Any], wm_params: Any, rssm: RSSM,
                 obs_u8: jnp.ndarray, actions: jnp.ndarray,
                 target_critic_params: Any, s_scale: jnp.ndarray, key: jax.Array,
-                conts: jnp.ndarray | None = None):
+                conts: jnp.ndarray | None = None,
+                nu: jnp.ndarray | None = None):
         """Combined actor+critic loss on one replay batch.
 
         ``ac_params`` = {"actor": ..., "critic": ...} (the differentiated
         pytree); wm_params/target params are frozen inputs.  ``conts`` is
         consumed only under wm.reset_on_episode_start (boundary flags for the
-        teacher-forced warm start; see rssm.observe_sequence).
+        teacher-forced warm start; see rssm.observe_sequence).  ``nu``, when
+        given, is a TRACED entropy coefficient (runtime.traced_nu): dose
+        changes — the round-4 anti-collapse intervention — then swap a scalar
+        instead of recompiling the fused program (~20 min on a remote-compile
+        tunnel); ``None`` bakes cfg.agent.nu as a constant (strict parity).
         """
         cfg = self.cfg
         Tw = cfg.train.sequence_length // 2   # warmup_length (Dreamer.py:254)
@@ -154,7 +159,8 @@ class AgentTrainer:
 
         s_new = update_return_scale(s_scale, R, cfg.agent.s_ema)
         norm = sg(jnp.maximum(s_new, 1.0))
-        loss_actor = jnp.mean(-logp * (advantage / norm) - cfg.agent.nu * entropy)
+        nu_val = cfg.agent.nu if nu is None else nu
+        loss_actor = jnp.mean(-logp * (advantage / norm) - nu_val * entropy)
 
         # --- critic --------------------------------------------------- #
         logits = self.critic_logits(ac_params["critic"], sg(traj.h), sg(traj.z))[:, :-1]
@@ -180,7 +186,8 @@ class AgentTrainer:
     def ac_update(self, actor_opt: optax.GradientTransformation,
                   critic_opt: optax.GradientTransformation,
                   state: ACTrainState, wm_params: Any, rssm: RSSM,
-                  batch, key: jax.Array) -> Tuple[ACTrainState, Dict[str, jnp.ndarray]]:
+                  batch, key: jax.Array, nu: jnp.ndarray | None = None
+                  ) -> Tuple[ACTrainState, Dict[str, jnp.ndarray]]:
         obs, actions = batch[0], batch[1]   # rewards unused (dreamed)
         # conts feed the warm start's boundary resets when the batch carries
         # them and wm.reset_on_episode_start is set; None otherwise.
@@ -190,7 +197,7 @@ class AgentTrainer:
         def loss_fn(p):
             return self.ac_loss(p, wm_params, rssm, obs, actions,
                                 state.target_critic_params, state.s_scale, key,
-                                conts=conts)
+                                conts=conts, nu=nu)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ac_params)
         s_new = aux.pop("_s_new")

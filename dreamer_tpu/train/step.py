@@ -147,9 +147,13 @@ class Trainer:
         metrics["wm/loss_epochs"] = per_epoch_loss
         return state._replace(wm=wm_state), metrics
 
-    def _ac_step(self, state: DreamerState, buf: ReplayState, key: jax.Array
+    def _ac_step(self, state: DreamerState, buf: ReplayState, key: jax.Array,
+                 nu: jnp.ndarray | None = None
                  ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
-        """AC_epochs fused dream+update steps (Dreamer.py:264-287)."""
+        """AC_epochs fused dream+update steps (Dreamer.py:264-287).
+
+        ``nu``: optional traced entropy coefficient (see AgentTrainer.ac_loss);
+        ``None`` bakes cfg.agent.nu into the compiled program."""
         def epoch(ac_state, k):
             k_s, k_u = jax.random.split(k)
             # The AC update consumes only the warm-start window (obs/actions
@@ -162,7 +166,7 @@ class Trainer:
                 with_scalars=self.cfg.wm.reset_on_episode_start)
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
-                self.rssm, batch, k_u)
+                self.rssm, batch, k_u, nu=nu)
             return new_state, metrics
 
         keys = jax.random.split(key, self.cfg.train.ac_epochs)
@@ -170,12 +174,13 @@ class Trainer:
         metrics = jax.tree.map(lambda x: jnp.mean(x), metrics)  # reference averages (Dreamer.py:285-287)
         return state._replace(ac=ac_state), metrics
 
-    def _train_iteration(self, state: DreamerState, buf: ReplayState, key: jax.Array
+    def _train_iteration(self, state: DreamerState, buf: ReplayState, key: jax.Array,
+                         nu: jnp.ndarray | None = None
                          ) -> Tuple[DreamerState, Dict[str, jnp.ndarray]]:
         """One full learner iteration: WM epochs then AC epochs (Dreamer.py:338-341)."""
         k_wm, k_ac = jax.random.split(key)
         state, wm_metrics = self._wm_step(state, buf, k_wm)
-        state, ac_metrics = self._ac_step(state, buf, k_ac)
+        state, ac_metrics = self._ac_step(state, buf, k_ac, nu)
         state = state._replace(step=state.step + 1)
         return state, {**wm_metrics, **ac_metrics}
 

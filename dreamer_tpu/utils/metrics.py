@@ -18,9 +18,17 @@ import numpy as np
 
 class MetricsLogger:
     def __init__(self, log_dir: str, csv_name: str = "metrics.csv",
-                 enabled: bool = True):
+                 enabled: bool = True, resuming: bool = True):
         """``enabled=False`` (non-primary processes of a multi-host run) turns
-        every file write into a no-op; metrics still accumulate in memory."""
+        every file write into a no-op; metrics still accumulate in memory.
+
+        ``resuming`` controls what happens to pre-existing metrics files in
+        the log_dir: ``True`` (a supervised restart / --resume) rotates them
+        to ``.legN`` names that ``tools/harvest_evidence.py`` concatenates
+        back into one curve; ``False`` (a fresh run reusing a log_dir)
+        archives them to ``.staleN`` names that harvest IGNORES — otherwise
+        an unrelated previous run's legs would pollute the new run's curves
+        and wall-time stats (ADVICE r4)."""
         self.enabled = enabled
         self.log_dir = os.path.abspath(log_dir)
         if enabled:
@@ -35,24 +43,25 @@ class MetricsLogger:
             # csv/npz with "w" would destroy the previous legs' metrics
             # (observed round 4: a restart erased 2,400 iterations of curve
             # incl. an eval point).  Rotate existing files to leg-numbered
-            # names; tools/harvest_evidence.py re-concatenates them.
-            self._rotate_existing(self._csv_path)
+            # (resume) or stale-numbered (fresh start) names.
+            tag = "leg" if resuming else "stale"
+            self._rotate_existing(self._csv_path, tag)
             self._rotate_existing(os.path.join(self.log_dir,
-                                               "training_logs.npz"))
+                                               "training_logs.npz"), tag)
         self._csv_file = None
         self._csv_writer = None
         self._csv_fields: Optional[List[str]] = None
         self._t0 = time.time()
 
     @staticmethod
-    def _rotate_existing(path: str):
+    def _rotate_existing(path: str, tag: str = "leg"):
         if not os.path.exists(path):
             return
         base, ext = os.path.splitext(path)
         n = 1
-        while os.path.exists(f"{base}.leg{n}{ext}"):
+        while os.path.exists(f"{base}.{tag}{n}{ext}"):
             n += 1
-        os.replace(path, f"{base}.leg{n}{ext}")
+        os.replace(path, f"{base}.{tag}{n}{ext}")
 
     # ------------------------------------------------------------------ #
 

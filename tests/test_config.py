@@ -117,3 +117,16 @@ class TestOverrideNumericCoercion:
         with pytest.raises(ValueError):
             DreamerConfig.from_yaml("configs/fake_smoke.yaml",
                                     overrides=["agent.nu=not_a_number"])
+
+    def test_non_integral_value_into_int_field_rejected(self):
+        """int-typed fields must REJECT non-integral values, not silently
+        truncate (ADVICE r4: eval_every=1.23e1 became 12 with no error) —
+        both via the YAML-1.1 string path (1.23e1 parses as str) and the
+        plain YAML-float path (12.3)."""
+        with pytest.raises(ValueError, match="not an integer"):
+            DreamerConfig().with_override("train.eval_every=1.23e1")
+        with pytest.raises(ValueError, match="not an integer"):
+            DreamerConfig().with_override("train.eval_every=12.3")
+        # Integral-valued floats still coerce cleanly.
+        cfg = DreamerConfig().with_override("train.eval_every=12.0")
+        assert cfg.train.eval_every == 12 and isinstance(cfg.train.eval_every, int)

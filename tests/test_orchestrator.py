@@ -268,6 +268,72 @@ class TestCheckpoint:
         d2.train(resume=True, progress=False)
         assert int(d2.buf.size) >= 3 * d2.cfg.train.sequence_length
 
+    def test_fresh_start_ignores_and_removes_stale_sidecar(self, tmp_path):
+        """A FRESH (non-resumed) run into a reused checkpoint_dir with a
+        leftover kickstart.json must not skip the kickstart for freshly
+        initialized weights (ADVICE r4): the stale sidecar is deleted and the
+        full random_iterations kickstart runs."""
+        import json
+
+        models = tmp_path / "models"
+        models.mkdir(parents=True, exist_ok=True)
+        with open(models / "kickstart.json", "w") as f:
+            json.dump({"rounds_done": 999}, f)
+        d = Dreamer(smoke_cfg(tmp_path, **{"train.random_iterations": "3",
+                                           "train.training_iterations": "1"}))
+        calls = {"n": 0}
+        orig = d.rollout_policy
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        d.rollout_policy = counted
+        d.train(progress=False)
+        # All 3 kickstart rounds ran + 1 training-iteration rollout.
+        assert calls["n"] == 3 + 1
+        with open(models / "kickstart.json") as f:
+            assert json.load(f)["rounds_done"] == 3
+
+    def test_nu_override_file_updates_dose(self, tmp_path):
+        """runtime.traced_nu live dosing: writing <log_dir>/nu_override
+        changes the entropy coefficient applied from the next iteration,
+        with no recompile (the round-4 anti-collapse intervention as a
+        runtime input)."""
+        d = Dreamer(smoke_cfg(tmp_path, **{"runtime.traced_nu": "true"}))
+        assert d._nu == d.cfg.agent.nu
+        log_dir = tmp_path / "logs"
+        log_dir.mkdir(parents=True, exist_ok=True)
+        with open(log_dir / "nu_override", "w") as f:
+            f.write("1e-2\n")
+        d._maybe_update_nu(lambda *a, **k: None)
+        assert d._nu == pytest.approx(1e-2)
+        # Unchanged mtime: no re-read; garbage content: dose keeps its value.
+        d._maybe_update_nu(lambda *a, **k: None)
+        assert d._nu == pytest.approx(1e-2)
+        import time as _time
+
+        with open(log_dir / "nu_override", "w") as f:
+            f.write("not a float")
+        os.utime(log_dir / "nu_override", (0, _time.time() + 10))
+        d._maybe_update_nu(lambda *a, **k: None)
+        assert d._nu == pytest.approx(1e-2)
+        # End-to-end: the traced-nu train loop runs with the live dose.
+        d.train(progress=False)
+        assert d.iteration == d.cfg.train.training_iterations
+
+    def test_heartbeat_is_per_process(self, tmp_path):
+        """Non-zero processes beat their own heartbeat.procN file so a
+        per-host supervisor can watch its own child (ADVICE r4)."""
+        d = Dreamer(smoke_cfg(tmp_path))
+        d._touch_heartbeat()
+        assert os.path.exists(os.path.join(str(tmp_path), "logs", "heartbeat"))
+        d._proc = 2
+        d._touch_heartbeat()
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "logs", "heartbeat.proc2"))
+        d._proc = 0
+
     def test_kickstart_completion_is_checkpointed(self, tmp_path):
         """Completing the kickstart writes an iteration-0 checkpoint, so a
         crash before the first periodic checkpoint does not redo all

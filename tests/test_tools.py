@@ -11,6 +11,36 @@ import pytest
 from tests.test_orchestrator import smoke_cfg
 
 
+class TestMetricsRotation:
+    def test_resume_rotates_to_legs_fresh_archives_to_stale(self, tmp_path):
+        """A supervised restart (resuming=True) rotates pre-existing metrics
+        into .legN files that harvest concatenates; a FRESH run reusing the
+        log_dir (resuming=False) archives them to .staleN files that harvest
+        ignores — so an unrelated previous run cannot pollute the new curves
+        (ADVICE r4)."""
+        from dreamer_tpu.utils import MetricsLogger
+
+        d = str(tmp_path)
+        m1 = MetricsLogger(d)
+        m1.log_iteration(1, {"wm/loss": 1.0})
+        m1.save_npz()
+        m1.close()
+        # Restart into the same dir: previous files become leg1.
+        m2 = MetricsLogger(d, resuming=True)
+        m2.log_iteration(2, {"wm/loss": 2.0})
+        m2.save_npz()
+        m2.close()
+        assert os.path.exists(os.path.join(d, "metrics.leg1.csv"))
+        assert os.path.exists(os.path.join(d, "training_logs.leg1.npz"))
+        # Fresh run into the same dir: current files become stale1, legs of
+        # the old run remain untouched (still ignored by the new run's story).
+        m3 = MetricsLogger(d, resuming=False)
+        m3.log_iteration(1, {"wm/loss": 3.0})
+        m3.close()
+        assert os.path.exists(os.path.join(d, "metrics.stale1.csv"))
+        assert not os.path.exists(os.path.join(d, "metrics.leg2.csv"))
+
+
 class TestPlotResults:
     def test_plot_curves_from_npz(self, tmp_path):
         from tools.plot_results import plot_curves

@@ -176,6 +176,27 @@ class TestTrainIteration:
         for k in ("wm/loss", "ac/loss_actor", "ac/loss_critic"):
             assert np.isfinite(float(metrics[k])), k
 
+    def test_traced_nu_matches_baked_constant(self, trainer_and_state):
+        """runtime.traced_nu path: passing agent.nu as a TRACED scalar must
+        produce the same update as baking it (the whole point is recompile-free
+        dose changes with unchanged math), and a different dose must actually
+        change the actor loss."""
+        cfg, trainer, state, buf = trainer_and_state
+        key = jax.random.PRNGKey(11)
+        baked, m_baked = trainer.train_iteration(state, buf, key)
+        traced, m_traced = trainer.train_iteration(
+            state, buf, key, jnp.asarray(cfg.agent.nu, jnp.float32))
+        assert float(m_baked["ac/loss_actor"]) == pytest.approx(
+            float(m_traced["ac/loss_actor"]), rel=1e-6)
+        same = jax.tree.map(lambda a, b: bool(jnp.allclose(a, b, atol=1e-7)),
+                            baked.ac.actor_params, traced.ac.actor_params)
+        assert all(jax.tree.leaves(same))
+        # A 100x dose through the SAME compiled program changes the loss.
+        _, m_dosed = trainer.train_iteration(
+            state, buf, key, jnp.asarray(cfg.agent.nu * 100.0, jnp.float32))
+        assert float(m_dosed["ac/loss_actor"]) != pytest.approx(
+            float(m_traced["ac/loss_actor"]), rel=1e-6)
+
 
 class TestPolicy:
     def test_reset_act_observe_cycle(self, trainer_and_state):

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-5 LunarLander leg: RESUME the committed round-4 checkpoint (iter 650,
+# trained with wm.reset_on_episode_start=true) and run the schedule out to
+# the full 5,000 iterations (the recovery estimate in docs/evidence/README.md;
+# round 4 stopped at 650, inside the expected early dip).
+# Protocol identical to tools/launch_carracer_r3.sh: replay-less committed
+# checkpoint seeding + re-prime on resume + hang watchdog.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs/lunar_r4/logs runs/lunar_r4/models
+if [ ! -f runs/lunar_r4/models/LATEST ] && [ -f checkpoints/lunar_r4/LATEST ]; then
+  cp -r checkpoints/lunar_r4/ckpt_* checkpoints/lunar_r4/LATEST \
+        runs/lunar_r4/models/
+  for f in best.json kickstart.json run_meta.json; do
+    [ -f "checkpoints/lunar_r4/$f" ] && cp "checkpoints/lunar_r4/$f" runs/lunar_r4/models/
+  done
+  [ -d checkpoints/lunar_r4/agent_best ] && \
+    cp -r checkpoints/lunar_r4/agent_best runs/lunar_r4/models/agent_best
+  echo "seeded runs/lunar_r4/models from committed checkpoints/lunar_r4"
+fi
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
+nohup python tools/run_supervised.py --config configs/lunar_lander.yaml --max-restarts 50 \
+  --watch-file runs/lunar_r4/logs/heartbeat --hang-timeout 1200 \
+  -- --resume --overrides \
+     runtime.rollout_device=cpu runtime.async_rollout=true \
+     runtime.checkpoint_replay=false runtime.async_checkpoint=true \
+     train.eval_every=100 train.checkpoint_every=200 \
+     train.resume_prime_iterations=50 \
+     runtime.log_dir=runs/lunar_r4/logs \
+     runtime.checkpoint_dir=runs/lunar_r4/models \
+  > runs/lunar_r4/stdout.log 2>&1 &
+echo "supervisor_pid=$!"

@@ -66,7 +66,10 @@ def main():
     parser.add_argument("--max-restarts", type=int, default=10)
     parser.add_argument("--watch-file", default=None,
                         help="hang watchdog: path the trainer touches from its "
-                             "main work loop (<log_dir>/heartbeat); if its "
+                             "main work loop (<log_dir>/heartbeat on process "
+                             "0; <log_dir>/heartbeat.procN on process N — "
+                             "per-host supervisors of a multi-host run must "
+                             "pass their own host's file); if its "
                              "mtime goes stale for --hang-timeout seconds the "
                              "child is killed and relaunched with --resume. "
                              "A hung device call (dropped accelerator tunnel) "
