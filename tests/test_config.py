@@ -118,6 +118,20 @@ class TestOverrideNumericCoercion:
             DreamerConfig.from_yaml("configs/fake_smoke.yaml",
                                     overrides=["agent.nu=not_a_number"])
 
+    def test_stable_config_carries_validated_recipe(self):
+        """configs/car_racer_stable.yaml = parity flagship + the two proven
+        anti-collapse deviations (nu=1e-2, min_std=0.1) + traced_nu, and
+        NOTHING else may differ from configs/car_racer.yaml."""
+        base = DreamerConfig.from_yaml("configs/car_racer.yaml")
+        stable = DreamerConfig.from_yaml("configs/car_racer_stable.yaml")
+        assert stable.agent.nu == pytest.approx(1e-2)
+        assert stable.agent.min_std == pytest.approx(0.1)
+        assert stable.runtime.traced_nu is True
+        d1, d2 = base.to_dict(), stable.to_dict()
+        d1["agent"]["nu"] = d2["agent"]["nu"]
+        d1["runtime"]["traced_nu"] = d2["runtime"]["traced_nu"]
+        assert d1 == d2
+
     def test_non_integral_value_into_int_field_rejected(self):
         """int-typed fields must REJECT non-integral values, not silently
         truncate (ADVICE r4: eval_every=1.23e1 became 12 with no error) —
