@@ -5,6 +5,16 @@
 # round 4 stopped at 650, inside the expected early dip).
 # Protocol identical to tools/launch_carracer_r3.sh: replay-less committed
 # checkpoint seeding + re-prime on resume + hang watchdog.
+#
+# Round-5 recipe change: wm_epochs 2->4, ac_epochs 2->6.  The lunar learner
+# iteration costs ~tens of ms on the chip while the 16-env host rollout
+# round costs ~4-5 s (2 cores rendering 640 Box2D frames) — the chip idles
+# >99% of each iteration.  The dip-recovery estimate that produced the
+# 5,000-iteration schedule is denominated in GRADIENT UPDATES (CarRacing
+# recovered at ~4.8k updates); tripling AC updates per iteration buys the
+# same update count in ~1/3 the host-bound wall-clock for free.  Epoch
+# counts are baked into the fused program (lax.scan length), so this is a
+# one-time cold compile vs the round-4 program.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs/lunar_r4/logs runs/lunar_r4/models
@@ -24,6 +34,7 @@ nohup python tools/run_supervised.py --config configs/lunar_lander.yaml --max-re
   -- --resume --overrides \
      runtime.rollout_device=cpu runtime.async_rollout=true \
      runtime.checkpoint_replay=false runtime.async_checkpoint=true \
+     train.wm_epochs=4 train.ac_epochs=6 \
      train.eval_every=100 train.checkpoint_every=200 \
      train.resume_prime_iterations=50 \
      runtime.log_dir=runs/lunar_r4/logs \
