@@ -140,6 +140,19 @@ class EnvConfig:
     action_repeat: int = 4
     num_envs: int = 1                     # vectorized env farm size (reference: 1)
     async_envs: bool = False              # subprocess farm (AsyncEnvFarm) for many envs
+    # NEXT_STEP autoreset: keep the TERMINAL observation (the reference's
+    # same-step reset discards it, Dreamer.py:214-223) and delay the env
+    # reset by one step.  With it, the replay ring stores an explicit
+    # is-first channel, and the WM pred losses train the terminal example —
+    # (crash-frame latent -> terminal reward / continue=0) — which the
+    # reference masks out entirely (WorldModel.py:170-173: mask = the cont
+    # targets themselves).  Without terminal examples the continue head
+    # can only learn p=1, dreams never terminate, and terminal rewards
+    # (LunarLander/Bipedal +-100) are invisible to imagination — diagnosed
+    # round 5 as the remaining terminating-env blocker.  Default False =
+    # reference parity (bit-for-bit, for CarRacing-class non-terminating
+    # envs).
+    next_step_autoreset: bool = False
     crop_rows: int = 84                   # CarRacing dashboard crop (Adaptors.py:35-46)
     max_episode_steps: Optional[int] = None
 

@@ -125,7 +125,8 @@ class Dreamer:
         # Per-process env seeds: each host's farm explores distinct episodes.
         self._env_seed_offset = self._proc * 100_003
         self.farm = farm_cls([factory] * cfg.env.num_envs,
-                             seed=cfg.train.seed + self._env_seed_offset)
+                             seed=cfg.train.seed + self._env_seed_offset,
+                             next_step=cfg.env.next_step_autoreset)
         self.eval_env = factory()
         self._eval_farm = None
         self._eval_seed = cfg.train.seed + 10_000
@@ -175,6 +176,7 @@ class Dreamer:
         self._z = None
         self._action = None   # device (N, A) — the action to apply next
         self._obs = None      # host uint8 (N, H, W, 3) — obs BEFORE that action
+        self._first = None    # host bool (N,) — self._obs is a reset frame
         self._policy_cache = None       # (state identity, broadcast params)
         self._broadcast_fns = None      # lazy (flatten, unflatten) pair
         if cfg.runtime.async_rollout and cfg.runtime.rollout_device != "cpu":
@@ -469,6 +471,9 @@ class Dreamer:
         # actor never bounces observations through the accelerator.
         if self._obs is None:
             self._obs = self.farm.reset_all()
+            # Episode-start flag for the CURRENT self._obs (stream head):
+            # reset_all returns reset frames.
+            self._first = np.ones(self._obs.shape[0], bool)
             self._h, self._z = t.policy_reset(
                 wm_params, self._obs, self._rollout_key())
             self._action = (np.asarray(self.farm.sample_actions(), np.float32)
@@ -476,29 +481,37 @@ class Dreamer:
                             t.policy_act(actor_params, self._h, self._z,
                                          self._rollout_key()))
 
-        obs_chunk, act_chunk, rew_chunk, cont_chunk = [], [], [], []
+        obs_chunk, act_chunk, rew_chunk, cont_chunk, first_chunk = [], [], [], [], []
         for _ in range(self.cfg.train.sequence_length):
             action_np = np.asarray(self._action)
-            obs_next, reward, done = self.farm.step(action_np)
+            obs_next, reward, done, first_next = self.farm.step(action_np)
 
             obs_chunk.append(self._obs)
             act_chunk.append(action_np)
             rew_chunk.append(reward)
             cont_chunk.append(1.0 - done.astype(np.float32))
+            first_chunk.append(self._first.astype(np.float32))
 
             # Fused device step: posterior update (+ episode-reset rows) + next
             # action.  For random policy the sampled action is replaced below
             # but the state update uses the ACTUALLY APPLIED action.
+            # Reset rows = rows whose obs_next is a reset frame (``first``):
+            # identical to ``done`` under same-step autoreset; one step later
+            # under env.next_step_autoreset (the terminal frame is observed
+            # normally first — it carries the crash context).
             self._h, self._z, next_action = t.policy_act_observe(
                 wm_params, actor_params,
                 self._h, self._z, action_np, obs_next,
-                done, self._rollout_key())
+                first_next, self._rollout_key())
             self._action = (np.asarray(self.farm.sample_actions(), np.float32)
                             if random_policy else next_action)
             self._obs = obs_next
+            self._first = first_next
 
         chunks = (np.stack(obs_chunk, axis=1), np.stack(act_chunk, axis=1),
-                  np.stack(rew_chunk, axis=1), np.stack(cont_chunk, axis=1))
+                  np.stack(rew_chunk, axis=1), np.stack(cont_chunk, axis=1),
+                  (np.stack(first_chunk, axis=1)
+                   if self.cfg.env.next_step_autoreset else None))
         metrics = {
             "rollout/reward_mean": float(np.mean(rew_chunk)),
             "rollout/done_frac": float(1.0 - np.mean(cont_chunk)),
@@ -507,7 +520,7 @@ class Dreamer:
 
     def _write_chunk(self, chunks):
         """One donated device write per rollout round: (E, T, ...) chunk."""
-        obs, act, rew, cont = chunks
+        obs, act, rew, cont, first = chunks
         if self._nproc > 1:
             # Each process contributes its local farm's env rows; the global
             # chunk is assembled shard-wise (no cross-host data movement —
@@ -524,7 +537,8 @@ class Dreamer:
 
             self.buf = self.trainer.buffer.add_batch(
                 self.buf, glob(obs, np.uint8), glob(act, np.float32),
-                glob(rew, np.float32), glob(cont, np.float32))
+                glob(rew, np.float32), glob(cont, np.float32),
+                first=(None if first is None else glob(first, np.float32)))
             return
         self.buf = self.trainer.buffer.add_batch(
             self.buf,
@@ -532,6 +546,7 @@ class Dreamer:
             jnp.asarray(act, jnp.float32),
             jnp.asarray(rew, jnp.float32),
             jnp.asarray(cont, jnp.float32),
+            first=(None if first is None else jnp.asarray(first, jnp.float32)),
         )
 
     # ------------------------------------------------------------------ #

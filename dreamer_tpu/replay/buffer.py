@@ -30,7 +30,13 @@ from dreamer_tpu.core.math import symlog
 
 
 class ReplayState(NamedTuple):
-    """Pytree of device arrays; pass through jitted fns, donate on write."""
+    """Pytree of device arrays; pass through jitted fns, donate on write.
+
+    ``first`` is the optional episode-start channel (env.next_step_autoreset:
+    slot t's obs is a reset frame).  It is ``None`` in reference-parity mode —
+    a None pytree leaf, NOT a zero array, so every parity-mode program traces
+    to byte-identical HLO and the persistent compilation cache keeps hitting.
+    """
 
     obs: jnp.ndarray       # (E, C, H, W, 3) uint8
     action: jnp.ndarray    # (E, C, A) float32
@@ -38,6 +44,7 @@ class ReplayState(NamedTuple):
     cont: jnp.ndarray      # (E, C) float32
     next_idx: jnp.ndarray  # () int32 — shared write head (lockstep envs)
     size: jnp.ndarray      # () int32 — filled slots per env
+    first: jnp.ndarray | None = None   # (E, C) float32, or None (parity)
 
 
 class ReplayBuffer:
@@ -48,13 +55,15 @@ class ReplayBuffer:
     """
 
     def __init__(self, capacity: int, sequence_length: int, action_dim: int,
-                 obs_size: Tuple[int, int], num_envs: int = 1):
+                 obs_size: Tuple[int, int], num_envs: int = 1,
+                 store_firsts: bool = False):
         assert capacity % num_envs == 0, "capacity must divide by num_envs"
         self.num_envs = num_envs
         self.capacity = capacity // num_envs
         self.sequence_length = sequence_length
         self.action_dim = action_dim
         self.obs_size = obs_size
+        self.store_firsts = store_firsts
         self._add = jax.jit(self._add_impl, donate_argnums=0)
         self._sample = jax.jit(self._sample_impl, static_argnums=2)
 
@@ -68,6 +77,8 @@ class ReplayBuffer:
             cont=jnp.zeros((e, c), jnp.float32),
             next_idx=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
+            first=(jnp.zeros((e, c), jnp.float32) if self.store_firsts
+                   else None),
         )
 
     # ------------------------------------------------------------------ #
@@ -75,18 +86,24 @@ class ReplayBuffer:
     # ------------------------------------------------------------------ #
 
     def add_batch(self, state: ReplayState, obs: jnp.ndarray, action: jnp.ndarray,
-                  reward: jnp.ndarray, cont: jnp.ndarray) -> ReplayState:
+                  reward: jnp.ndarray, cont: jnp.ndarray,
+                  first: jnp.ndarray | None = None) -> ReplayState:
         """Append a chunk of n lockstep transitions per env (ring write).
 
         ``reward`` is RAW — symlog is applied here, matching the reference's
         symlog-at-write (Buffer.py:24-26).
 
-        obs: (E, n, H, W, 3) uint8; action: (E, n, A); reward, cont: (E, n).
-        The input state is donated — do not reuse it after this call.
+        obs: (E, n, H, W, 3) uint8; action: (E, n, A); reward, cont: (E, n);
+        first: (E, n) or None — required iff the buffer was built with
+        ``store_firsts``.  The input state is donated — do not reuse it after
+        this call.
         """
-        return self._add(state, obs, action, reward, cont)
+        assert (first is not None) == self.store_firsts, (
+            "add_batch firsts must match the buffer's store_firsts setting")
+        return self._add(state, obs, action, reward, cont, first)
 
-    def _add_impl(self, state: ReplayState, obs, action, reward, cont) -> ReplayState:
+    def _add_impl(self, state: ReplayState, obs, action, reward, cont,
+                  first=None) -> ReplayState:
         n = obs.shape[1]
         idx = (state.next_idx + jnp.arange(n, dtype=jnp.int32)) % self.capacity
         return ReplayState(
@@ -96,6 +113,8 @@ class ReplayBuffer:
             cont=state.cont.at[:, idx].set(cont.astype(jnp.float32)),
             next_idx=(state.next_idx + n) % self.capacity,
             size=jnp.minimum(state.size + n, self.capacity),
+            first=(None if first is None
+                   else state.first.at[:, idx].set(first.astype(jnp.float32))),
         )
 
     # ------------------------------------------------------------------ #
@@ -103,7 +122,8 @@ class ReplayBuffer:
     # ------------------------------------------------------------------ #
 
     def sample(self, state: ReplayState, key: jax.Array, batch_size: int):
-        """Sample (obs_u8 (B,T,H,W,3), action (B,T,A), reward (B,T), cont (B,T)).
+        """Sample (obs_u8 (B,T,H,W,3), action (B,T,A), reward (B,T), cont (B,T)
+        [, first (B,T) — only when the ring stores the firsts channel]).
 
         Each batch row picks a uniform (env, start) pair.  Caller must ensure
         size >= sequence_length (the reference raises a ValueError,
@@ -149,12 +169,15 @@ class ReplayBuffer:
         e = env_idx[:, None]
         if not with_scalars:
             return state.obs[e, idx], state.action[e, idx]
-        return (
+        out = (
             state.obs[e, idx],
             state.action[e, idx],
             state.reward[e, idx],
             state.cont[e, idx],
         )
+        if state.first is not None:
+            out = out + (state.first[e, idx],)
+        return out
 
     def _sample_impl(self, state: ReplayState, key: jax.Array, batch_size: int,
                      t_out: int | None = None, with_scalars: bool = True,
@@ -206,8 +229,10 @@ class ReplayBuffer:
         env_sharded = P(data_axis)
         buf_specs = ReplayState(obs=env_sharded, action=env_sharded,
                                 reward=env_sharded, cont=env_sharded,
-                                next_idx=P(), size=P())
-        n_out = 2 if not with_scalars else 4
+                                next_idx=P(), size=P(),
+                                first=(env_sharded if state.first is not None
+                                       else None))
+        n_out = 2 if not with_scalars else (5 if state.first is not None else 4)
         return jax.shard_map(
             local, mesh=mesh, in_specs=(buf_specs, P()),
             out_specs=tuple(P(data_axis) for _ in range(n_out)),

@@ -105,7 +105,8 @@ class AgentTrainer:
                 obs_u8: jnp.ndarray, actions: jnp.ndarray,
                 target_critic_params: Any, s_scale: jnp.ndarray, key: jax.Array,
                 conts: jnp.ndarray | None = None,
-                nu: jnp.ndarray | None = None):
+                nu: jnp.ndarray | None = None,
+                firsts: jnp.ndarray | None = None):
         """Combined actor+critic loss on one replay batch.
 
         ``ac_params`` = {"actor": ..., "critic": ...} (the differentiated
@@ -127,7 +128,12 @@ class AgentTrainer:
         # encoder is the only consumer (see the same pattern in wm_loss).
         obs = obs_u8[:, :Tw].astype(rssm.dtype) / 255.0 - 0.5
         is_first = None
-        if cfg.wm.reset_on_episode_start and conts is not None:
+        if firsts is not None:
+            # env.next_step_autoreset: explicit episode-start channel (the
+            # cont-derived shift below would reset one step early there —
+            # at the stored terminal frame instead of the reset frame).
+            is_first = firsts[:, :Tw].at[:, 0].set(0.0)
+        elif cfg.wm.reset_on_episode_start and conts is not None:
             c = conts[:, :Tw]
             is_first = jnp.concatenate(
                 [jnp.zeros_like(c[:, :1]), 1.0 - c[:, :-1]], axis=1)
@@ -190,14 +196,16 @@ class AgentTrainer:
                   ) -> Tuple[ACTrainState, Dict[str, jnp.ndarray]]:
         obs, actions = batch[0], batch[1]   # rewards unused (dreamed)
         # conts feed the warm start's boundary resets when the batch carries
-        # them and wm.reset_on_episode_start is set; None otherwise.
+        # them and wm.reset_on_episode_start is set; the firsts channel
+        # (position 5, env.next_step_autoreset rings) takes precedence.
         conts = batch[3] if len(batch) > 3 else None
+        firsts = batch[4] if len(batch) > 4 else None
         ac_params = {"actor": state.actor_params, "critic": state.critic_params}
 
         def loss_fn(p):
             return self.ac_loss(p, wm_params, rssm, obs, actions,
                                 state.target_critic_params, state.s_scale, key,
-                                conts=conts, nu=nu)
+                                conts=conts, nu=nu, firsts=firsts)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ac_params)
         s_new = aux.pop("_s_new")

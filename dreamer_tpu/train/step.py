@@ -49,7 +49,8 @@ class Trainer:
         self.agent = AgentTrainer(cfg, dtype=dtype)
         self.buffer = ReplayBuffer(cfg.train.buffer_size, cfg.train.sequence_length,
                                    cfg.env.action_dim, cfg.wm.obs_size,
-                                   num_envs=cfg.env.num_envs)
+                                   num_envs=cfg.env.num_envs,
+                                   store_firsts=cfg.env.next_step_autoreset)
         self.wm_opt = make_wm_optimizer(cfg)
         self.actor_opt = make_actor_optimizer(cfg)
         self.critic_opt = make_critic_optimizer(cfg)
@@ -159,11 +160,13 @@ class Trainer:
             # The AC update consumes only the warm-start window (obs/actions
             # [:T//2], Dreamer.py:254) and never reads rewards/conts (the
             # dream generates its own) — gather just that.  Under
-            # wm.reset_on_episode_start the warm start DOES need the cont
-            # bits (boundary-reset flags), so the scalar gathers come back.
+            # wm.reset_on_episode_start / env.next_step_autoreset the warm
+            # start DOES need the boundary-reset flags (cont bits or the
+            # firsts channel), so the scalar gathers come back.
             batch = self._sample_batch(
                 buf, k_s, t_out=self.cfg.train.sequence_length // 2,
-                with_scalars=self.cfg.wm.reset_on_episode_start)
+                with_scalars=(self.cfg.wm.reset_on_episode_start
+                              or self.cfg.env.next_step_autoreset))
             new_state, metrics = self.agent.ac_update(
                 self.actor_opt, self.critic_opt, ac_state, state.wm.params,
                 self.rssm, batch, k_u, nu=nu)
@@ -216,12 +219,15 @@ class Trainer:
         """Fused per-env-step program for vectorized rollout: one device call
         per env step instead of the reference's two (Dreamer.py:194-226).
 
-        Given the PREVIOUS action and the NEW observation (plus a done mask),
-        computes the posterior update — with episode-reset rows re-encoded
-        from h=0 (Dreamer.py:214-223) — then samples the next action.
+        Given the PREVIOUS action and the NEW observation (plus a reset-row
+        mask), computes the posterior update — with episode-reset rows
+        re-encoded from h=0 (Dreamer.py:214-223) — then samples the next
+        action.
 
-        done: (N,) bool — envs that were reset (obs_u8 is their reset obs).
-        Returns (h', z', action').
+        done: (N,) bool — rows whose obs_u8 is a RESET frame (the farm's
+        ``first`` flags: == done under same-step autoreset; one step after
+        done under env.next_step_autoreset, where the terminal frame is
+        first observed normally).  Returns (h', z', action').
         """
         k_obs, k_reset, k_act = jax.random.split(key, 3)
         obs = obs_u8.astype(jnp.float32) / 255.0 - 0.5

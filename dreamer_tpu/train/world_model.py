@@ -8,6 +8,9 @@ Replicates the reference's loss semantics bit-for-bit in scan/batched form
 - reward/continue heads run on steps 1..H-1 with targets r[0..H-2]/c[0..H-2]
   (WorldModel.py:113-123); rewards are already symlog (symlog-at-write).
 - all likelihoods masked by continue flags c[0..H-2] (WorldModel.py:170-173).
+  NOTE this self-masking starves the cont/reward heads of every terminal
+  example; under env.next_step_autoreset the mask is replaced by the
+  firsts-derived validity mask (see wm_loss_terms) so terminals train.
 - KL balancing: KL(sg(post)‖prior) and KL(post‖sg(prior)) on steps 1..H-1,
   each a masked MEAN over B*(H-1) elements (denominator unmasked —
   WorldModel.py:180-183).
@@ -48,7 +51,8 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
                   dec_mu: jnp.ndarray, rew_logits: jnp.ndarray,
                   cont_logits: jnp.ndarray, obs: jnp.ndarray,
                   rewards: jnp.ndarray, conts: jnp.ndarray,
-                  buckets: jnp.ndarray, cfg: DreamerConfig
+                  buckets: jnp.ndarray, cfg: DreamerConfig,
+                  valid_mask: jnp.ndarray | None = None
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Pure loss combination from precomputed head outputs — the exact
     formulas of WorldModel.py:109-189, independently unit-testable against a
@@ -56,6 +60,15 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
 
     Shapes: post/prior logits (B, H, R, C); dec_mu, obs (B, H, h, w, 3);
     rew_logits (B, H-1, K); cont_logits (B, H-1); rewards/conts (B, H).
+
+    ``valid_mask`` (B, H-1) or None: override for the likelihood/KL mask.
+    None = reference parity: mask by the cont TARGETS themselves
+    (WorldModel.py:170-173) — correct under same-step autoreset (the terminal
+    obs was discarded, so the terminal example's latent/target pairing is
+    broken there) but it starves the cont/reward heads of every terminal
+    example.  Under env.next_step_autoreset the caller passes
+    ``1 - firsts[:, 1:H]``: the terminal example (paired with the now-stored
+    crash-frame latent) trains, and only the fake reset transition is masked.
     """
     w = cfg.wm
     H = cfg.train.horizon
@@ -82,7 +95,7 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
     cont_nll = -(cont_targets * jax.nn.log_sigmoid(x)
                  + (1.0 - cont_targets) * jax.nn.log_sigmoid(-x))  # positive NLL
 
-    mask = conts[:, : H - 1]                                 # (B, H-1)
+    mask = conts[:, : H - 1] if valid_mask is None else valid_mask  # (B, H-1)
     obs_log_lh = obs_log_lh * mask
     rew_log_lh = rew_log_lh * mask
     cont_nll = cont_nll * mask
@@ -125,12 +138,17 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
 
 def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
             rewards: jnp.ndarray, conts: jnp.ndarray, key: jax.Array,
-            cfg: DreamerConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+            cfg: DreamerConfig, firsts: jnp.ndarray | None = None
+            ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total WM loss + metrics on one sampled batch.
 
     obs_u8: (B, T, H, W, 3) uint8; actions (B, T, A); rewards (B, T) symlog;
     conts (B, T).  Only the first ``horizon`` steps are used
     (WorldModel.py:156-160).
+
+    ``firsts`` (B, T) — the replay ring's episode-start channel, present iff
+    env.next_step_autoreset: drives both the in-scan state resets and the
+    terminal-inclusive likelihood mask (see wm_loss_terms).  None = parity.
     """
     H = cfg.train.horizon
     # Slice to the horizon BEFORE normalizing: otherwise XLA materialises the
@@ -144,7 +162,18 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     rewards, conts = rewards[:, :H], conts[:, :H]
 
     is_first = None
-    if cfg.wm.reset_on_episode_start:
+    valid_mask = None
+    if firsts is not None:
+        # env.next_step_autoreset: explicit episode-start channel.  State
+        # resets exactly where a reset frame sits in the window (window
+        # start is state-zero anyway, so position 0 is forced off), and the
+        # likelihood/KL mask excludes only the FAKE reset transition (the
+        # one step whose target pairs with a reset-frame latent) — the
+        # terminal example itself now trains.
+        f = firsts[:, :H]
+        is_first = f.at[:, 0].set(0.0)
+        valid_mask = 1.0 - f[:, 1:]
+    elif cfg.wm.reset_on_episode_start:
         # Episode-boundary flags from the stored continue bits: step t starts
         # a new episode iff step t-1 ended one.  Window start is state-zero
         # anyway, so is_first[0] = 0.
@@ -158,7 +187,8 @@ def wm_loss(rssm: RSSM, params: Any, obs_u8: jnp.ndarray, actions: jnp.ndarray,
     cont_logits = rssm.cont_logit(params, seq.h[:, 1:], seq.z[:, 1:]).squeeze(-1)
 
     return wm_loss_terms(seq.post_logits, prior_logits, dec_mu, rew_logits,
-                         cont_logits, obs, rewards, conts, rssm.buckets, cfg)
+                         cont_logits, obs, rewards, conts, rssm.buckets, cfg,
+                         valid_mask=valid_mask)
 
 
 def wm_update(rssm: RSSM, optimizer: optax.GradientTransformation,
@@ -166,10 +196,12 @@ def wm_update(rssm: RSSM, optimizer: optax.GradientTransformation,
               cfg: DreamerConfig) -> Tuple[WMTrainState, Dict[str, jnp.ndarray]]:
     """One gradient step.  NaN/Inf total loss skips the update
     (WorldModel.py:191-193) via a tree-wide where."""
-    obs, actions, rewards, conts = batch
+    obs, actions, rewards, conts = batch[:4]
+    firsts = batch[4] if len(batch) > 4 else None
 
     def loss_fn(p):
-        return wm_loss(rssm, p, obs, actions, rewards, conts, key, cfg)
+        return wm_loss(rssm, p, obs, actions, rewards, conts, key, cfg,
+                       firsts=firsts)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     finite = jnp.isfinite(loss)

@@ -122,12 +122,13 @@ class TestEnvFarm:
         assert obs.shape == (2, 64, 64, 3)
         seeds_before = farm.seed
         for i in range(3):
-            obs, rew, done = farm.step(np.zeros((2, 3)))
+            obs, rew, done, first = farm.step(np.zeros((2, 3)))
         assert done.all()  # both truncate at step 3
+        assert first.all()  # same-step mode: the returned obs IS a reset frame
         assert farm.seed == seeds_before + 2  # one reset seed consumed per env
         # returned obs is the RESET obs (fresh episode), not terminal
-        obs2, _, done2 = farm.step(np.zeros((2, 3)))
-        assert not done2.any()
+        obs2, _, done2, first2 = farm.step(np.zeros((2, 3)))
+        assert not done2.any() and not first2.any()
 
     def test_distinct_seeds_give_distinct_obs(self):
         farm = EnvFarm([lambda: FakeEnv()] * 3, seed=5)
@@ -199,11 +200,12 @@ class TestAsyncEnvFarm:
             obs = farm.reset_all()
             assert obs.shape == (2, 64, 64, 3) and obs.dtype == np.uint8
             for _ in range(3):
-                obs, rew, done = farm.step(np.zeros((2, 3)))
+                obs, rew, done, first = farm.step(np.zeros((2, 3)))
             assert done.all()
+            assert first.all()
             assert obs.shape == (2, 64, 64, 3)  # reset obs, not terminal
-            obs2, _, done2 = farm.step(np.zeros((2, 3)))
-            assert not done2.any()
+            obs2, _, done2, first2 = farm.step(np.zeros((2, 3)))
+            assert not done2.any() and not first2.any()
             a = farm.sample_actions()
             assert a.shape == (2, 3)
         finally:

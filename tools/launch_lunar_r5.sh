@@ -6,7 +6,22 @@
 # Protocol identical to tools/launch_carracer_r3.sh: replay-less committed
 # checkpoint seeding + re-prime on resume + hang watchdog.
 #
-# Round-5 recipe change: wm_epochs 2->4, ac_epochs 2->6.  The lunar learner
+# Round-5 recipe changes:
+#
+# (1) env.next_step_autoreset (now in configs/lunar_lander.yaml): terminal
+#     transitions become learnable.  The first 1,468 resumed iterations ran
+#     without it: wm/cont_ce sat at ~9e-6 (the continue head had literally
+#     never seen a continue=0 example), imag_cont_mean ~= 1.0 (dreams never
+#     terminated), and the crash/landing +-100 rewards were invisible — the
+#     policy crash-looped (done_frac ~2% ~= 100-frame episodes) because
+#     crashing was FREE in imagination.
+# (2) runtime.traced_nu + agent.nu=3e-3: by iter 1300-1400 the eval had
+#     climbed -378 -> -140 but entropy had collapsed 1.15 -> -0.25 and was
+#     still falling — the exact rise-then-fade signature of the CarRacing
+#     collapse diagnosis, on the same too-weak default nu=3e-4.  Start at
+#     3e-3; escalate live via `echo 1e-2 > runs/lunar_r4/logs/nu_override`
+#     if the entropy slide continues (no recompile, no restart).
+# (3) wm_epochs 2->4, ac_epochs 2->6.  The lunar learner
 # iteration costs ~tens of ms on the chip while the 16-env host rollout
 # round costs ~4-5 s (2 cores rendering 640 Box2D frames) — the chip idles
 # >99% of each iteration.  The dip-recovery estimate that produced the
@@ -34,6 +49,7 @@ nohup python tools/run_supervised.py --config configs/lunar_lander.yaml --max-re
   -- --resume --overrides \
      runtime.rollout_device=cpu runtime.async_rollout=true \
      runtime.checkpoint_replay=false runtime.async_checkpoint=true \
+     runtime.traced_nu=true agent.nu=3e-3 \
      train.wm_epochs=4 train.ac_epochs=6 \
      train.eval_every=100 train.checkpoint_every=200 \
      train.resume_prime_iterations=50 \
