@@ -62,6 +62,17 @@ class WorldModelConfig:
     # -136 -> -411 failure).  Off by default for reference parity; enabled in
     # the terminating-env configs (lunar_lander, bipedal_walker).
     reset_on_episode_start: bool = False
+    # Loss weight on TERMINAL targets (continue=0) in the reward/continue
+    # heads, under env.next_step_autoreset.  Terminal examples are ~2-3% of
+    # steps but carry the env's +-100 terminal rewards; at weight 1 the heads
+    # learn ambient "late-episode" statistics long before the terminal spike
+    # (probed round 5: env crash reward -110 vs predicted -5.3, pred_cont
+    # 0.8-0.96 AT the crash frame, tools/probe_terminal_reward.py) — and a
+    # cont head that truncates dreams before the reward head has learned the
+    # crash penalty makes crashing a free ESCAPE from negative shaping in
+    # imagination (measured: done_frac rose, eval fell after the cont head
+    # woke up).  1.0 = parity (no reweighting, byte-identical HLO).
+    terminal_loss_weight: float = 1.0
 
     @property
     def latent_dim(self) -> int:

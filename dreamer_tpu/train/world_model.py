@@ -95,6 +95,15 @@ def wm_loss_terms(post_logits: jnp.ndarray, prior_logits: jnp.ndarray,
     cont_nll = -(cont_targets * jax.nn.log_sigmoid(x)
                  + (1.0 - cont_targets) * jax.nn.log_sigmoid(-x))  # positive NLL
 
+    if w.terminal_loss_weight != 1.0:
+        # Class-imbalance boost for the rare continue=0 examples (the +-100
+        # terminal rewards): see WorldModelConfig.terminal_loss_weight.
+        # Static Python comparison — at the parity value 1.0 this block does
+        # not trace and the HLO is unchanged.
+        tw = 1.0 + (w.terminal_loss_weight - 1.0) * (1.0 - cont_targets)
+        rew_log_lh = rew_log_lh * tw
+        cont_nll = cont_nll * tw
+
     mask = conts[:, : H - 1] if valid_mask is None else valid_mask  # (B, H-1)
     obs_log_lh = obs_log_lh * mask
     rew_log_lh = rew_log_lh * mask

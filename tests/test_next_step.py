@@ -165,7 +165,8 @@ class TestNextStepTraining:
 
 
 class TestTerminalLossMask:
-    def _terms(self, conts, valid_mask, cont_logit_val=8.0):
+    def _terms(self, conts, valid_mask, cont_logit_val=8.0,
+               terminal_weight=1.0):
         """wm_loss_terms on controlled inputs: cont head strongly predicts
         'continue'; only unmasked continue=0 targets can produce loss."""
         import jax.numpy as jnp
@@ -175,7 +176,10 @@ class TestTerminalLossMask:
         import dataclasses
 
         cfg = DreamerConfig()
-        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, horizon=6))
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, horizon=6),
+            wm=dataclasses.replace(cfg.wm,
+                                   terminal_loss_weight=terminal_weight))
         B, H = 1, 6
         R, C = cfg.wm.latent_rows, cfg.wm.latent_classes
         post = jnp.zeros((B, H, R, C))
@@ -211,3 +215,15 @@ class TestTerminalLossMask:
         # cont head predicts 'continue' with logit 8 at a true terminal:
         # NLL ~= 8 over a denominator of ~4 unmasked steps.
         assert ce > 1.0, "terminal continue=0 example must now produce loss"
+
+    def test_terminal_loss_weight_scales_terminal_examples(self):
+        import jax.numpy as jnp
+
+        conts = [[1, 1, 0, 1, 1, 1]]
+        firsts = jnp.asarray([[0, 0, 0, 0, 1, 0]], jnp.float32)
+        valid = 1.0 - firsts[:, 1:]
+        ce1 = self._terms(conts, valid_mask=valid, terminal_weight=1.0)
+        ce20 = self._terms(conts, valid_mask=valid, terminal_weight=20.0)
+        # The terminal NLL (~8/denom) dominates the continue-1 residual
+        # (~3e-4 each), so the metric scales ~x20.
+        assert ce20 == pytest.approx(20 * ce1, rel=0.01)
