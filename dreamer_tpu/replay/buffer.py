@@ -104,17 +104,49 @@ class ReplayBuffer:
 
     def _add_impl(self, state: ReplayState, obs, action, reward, cont,
                   first=None) -> ReplayState:
+        """Ring write as a fori_loop of per-step dynamic_update_slice ops.
+
+        An axis-1 scatter (`ring.at[:, idx].set(chunk)`) compiles with
+        ring-sized temporaries on TPU — measured 11.8 GB of program scratch
+        for a 6.3 GB 512k-transition ring, an HBM OOM on v5e (round 5,
+        64-env leg).  Writes are contiguous-mod-wrap from a single shared
+        head, so n in-place slice updates (n = chunk length, ~50) write
+        exactly the chunk bytes with zero scratch; with donation the whole
+        program updates the ring in place.
+        """
         n = obs.shape[1]
-        idx = (state.next_idx + jnp.arange(n, dtype=jnp.int32)) % self.capacity
+        # n may exceed capacity (tests fill+wrap in one call): sequential
+        # writes make the overlap deterministic (last write wins), unlike
+        # the previous scatter whose duplicate-index behavior was undefined.
+        obs = obs.astype(jnp.uint8)
+        action = action.astype(jnp.float32)
+        reward = symlog(reward.astype(jnp.float32))
+        cont = cont.astype(jnp.float32)
+        first = None if first is None else first.astype(jnp.float32)
+
+        def write_step(i, rings):
+            pos = (state.next_idx + i) % self.capacity
+
+            def dus(ring, chunk):
+                sl = jax.lax.dynamic_slice_in_dim(chunk, i, 1, axis=1)
+                starts = (jnp.int32(0), pos) + (jnp.int32(0),) * (ring.ndim - 2)
+                return jax.lax.dynamic_update_slice(ring, sl, starts)
+
+            out = (dus(rings[0], obs), dus(rings[1], action),
+                   dus(rings[2], reward), dus(rings[3], cont))
+            if first is not None:
+                out = out + (dus(rings[4], first),)
+            return out
+
+        rings = (state.obs, state.action, state.reward, state.cont)
+        if first is not None:
+            rings = rings + (state.first,)
+        rings = jax.lax.fori_loop(0, n, write_step, rings)
         return ReplayState(
-            obs=state.obs.at[:, idx].set(obs.astype(jnp.uint8)),
-            action=state.action.at[:, idx].set(action.astype(jnp.float32)),
-            reward=state.reward.at[:, idx].set(symlog(reward.astype(jnp.float32))),
-            cont=state.cont.at[:, idx].set(cont.astype(jnp.float32)),
+            obs=rings[0], action=rings[1], reward=rings[2], cont=rings[3],
             next_idx=(state.next_idx + n) % self.capacity,
             size=jnp.minimum(state.size + n, self.capacity),
-            first=(None if first is None
-                   else state.first.at[:, idx].set(first.astype(jnp.float32))),
+            first=(rings[4] if first is not None else None),
         )
 
     # ------------------------------------------------------------------ #

@@ -17,9 +17,15 @@ mkdir -p runs/car64/logs runs/car64/models
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 # hang-timeout 1800: B=128 fused program is a COLD compile (9-24 min) —
 # the watchdog must not kill the child mid-compile.
+# train.buffer_size=200000: the parity 512k ring is ~6.3 GB of uint8 obs and
+# the ring-write scatter currently compiles with ~11.8 GB of temporaries —
+# past the 16 GB v5e HBM (measured OOM, round 5).  200k matches the flagship
+# ring and changes nothing about this leg's goals (pipeline + timing).
+# Proper fix tracked: contiguous dynamic-update-slice ring writes.
 nohup python tools/run_supervised.py --config configs/car_racer_64env.yaml --max-restarts 20 \
   --watch-file runs/car64/logs/heartbeat --hang-timeout 1800 \
   -- --overrides \
+     train.buffer_size=204800 \
      runtime.async_rollout=true runtime.checkpoint_replay=false \
      runtime.async_checkpoint=true runtime.traced_nu=true \
      agent.nu=1e-2 \
